@@ -1,0 +1,439 @@
+"""BSDF models with a unified batched sample/eval/pdf interface.
+
+TPU-native re-design of the reference's dlopen shader vtables
+(corona-13 src/shader.c:577-593, src/shaders/*.c): materials become a small
+static enum dispatched with masked evaluation over the wavefront — every
+lane evaluates the kernels it needs, selected by ``jnp.where`` — instead of
+per-path function pointers.  All quantities follow the reference's measure
+conventions:
+
+  * ``sample`` returns (wo, pdf, weight) with pdf in *projected solid angle*
+    (divided by |cos_out|; converted to vertex area by G outside) and
+    weight = f/pdf, exactly like shader_sample's contract
+    (src/pathspace.c:203-207 multiplies it into the path throughput).
+  * ``eval`` returns the plain BSDF value f (reference shader_brdf), used by
+    NEE as f * G * transmittance * edf.
+  * ``pdf`` returns the projected-solid-angle pdf of sampling wo from wi,
+    for MIS (reference path_pdf_extend divides by G later).
+
+Directions use the propagation convention: ``wi`` points *into* the vertex
+(e[v].omega), ``wo`` away from it (e[v+1].omega).
+
+Wavelength axis: all spectral quantities carry a trailing hero axis [MF].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils.math import dot, normalize, build_onb, from_frame, to_frame
+
+# BSDF kinds (host shaders)
+DIFFUSE = 0
+DIELECTRIC = 1   # smooth+rough GGX dielectric, spectral Cauchy IOR
+METAL = 2        # conductor with spectral complex fresnel
+
+# vertex mode bits (subset of reference pathspace.h:57-72)
+MODE_ABSORB = 0
+MODE_DIFFUSE = 1 << 0
+MODE_GLOSSY = 1 << 1
+MODE_SPECULAR = 1 << 2
+MODE_REFLECT = 1 << 3
+MODE_TRANSMIT = 1 << 4
+MODE_EMIT = 1 << 5
+MODE_VOLUME = 1 << 6
+
+GLOSSY_THR = 1e-3  # roughness below which we go specular (dielectric.c:35)
+
+
+@struct.dataclass
+class ShadingPoint:
+    """Per-vertex shading state: the wavefront analogue of the reference's
+    vertex_shading_t (pathspace.h:91-102) after shader_prepare."""
+    kind: jnp.ndarray       # [N] int32 BSDF enum
+    rd: jnp.ndarray         # [N, MF] diffuse reflectance
+    rg: jnp.ndarray         # [N, MF] glossy coefficient
+    em: jnp.ndarray         # [N, MF] emission
+    roughness: jnp.ndarray  # [N]
+    eta_ratio: jnp.ndarray  # [N, MF] n1/n2 along propagation (dielectric)
+    fresnel_eta: jnp.ndarray  # [N, MF] conductor n (metal)
+    fresnel_k: jnp.ndarray    # [N, MF] conductor k (metal)
+    n: jnp.ndarray          # [N, 3] shading normal
+    gn: jnp.ndarray         # [N, 3] geometric normal
+    inside: jnp.ndarray     # [N] bool: hit from the inside (flags & s_inside)
+
+
+def fresnel_dielectric(n1, n2, cos_r, cos_t):
+    """Unpolarized dielectric fresnel; returns 1 for TIR (cos_t <= 0)
+    (reference dielectric.c:83-96)."""
+    rs = (n1 * cos_r - n2 * cos_t) / (n1 * cos_r + n2 * cos_t)
+    rp = (n2 * cos_r - n1 * cos_t) / (n2 * cos_r + n1 * cos_t)
+    r = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
+    return jnp.where(cos_t <= 0.0, 1.0, r)
+
+
+def fresnel_conductor(eta, k, cos_i):
+    """Conductor fresnel for complex IOR eta - i*k (standard formula,
+    covers reference src/shaders/fresnel.h usage in metal.c)."""
+    c = jnp.clip(cos_i, 1e-6, 1.0)
+    c2 = c * c
+    s2 = 1.0 - c2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - s2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * c
+    rs = (t1 - t2) / (t1 + t2)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / (t3 + t4)
+    return jnp.clip(0.5 * (rs + rp), 0.0, 1.0)
+
+
+# --- GGX visible-normal distribution --------------------------------------
+# Heitz 2018 ("Sampling the GGX Distribution of Visible Normals") sphere-cap
+# construction: same VNDF as the reference's slope-space sampler
+# (src/shaders/ggx.h:60-165) with far fewer special cases on a SIMD machine.
+
+def ggx_smith_g1(cos_wn, roughness):
+    r2 = roughness * roughness
+    c2 = jnp.clip(cos_wn * cos_wn, 1e-12, 1.0)
+    t2 = (1.0 - c2) / c2
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + r2 * t2))
+
+
+def ggx_ndf(cos_h, roughness):
+    r2 = roughness * roughness
+    c2 = jnp.clip(cos_h * cos_h, 1e-12, 1.0)
+    t2 = (1.0 - c2) / c2
+    den = c2 * c2 * (r2 + t2) ** 2
+    return r2 / jnp.maximum(jnp.pi * den, 1e-20)
+
+
+def ggx_sample_vndf(wi_t, roughness, r1, r2):
+    """Sample a visible microfacet normal in tangent space.
+    wi_t: [...,3] direction *away* from surface (z up), z > 0."""
+    a = roughness
+    # stretch
+    vh = normalize(jnp.stack([a * wi_t[..., 0], a * wi_t[..., 1], wi_t[..., 2]], axis=-1))
+    # orthonormal basis around vh
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    t1 = jnp.where(lensq[..., None] > 1e-12,
+                   jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv, jnp.zeros_like(inv)], axis=-1),
+                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), vh.shape))
+    t2v = jnp.cross(vh, t1)
+    # parameterize the projected area (sphere cap)
+    r = jnp.sqrt(r1)
+    phi = 2.0 * jnp.pi * r2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = p1[..., None] * t1 + p2[..., None] * t2v + p3[..., None] * vh
+    # unstretch
+    h = normalize(jnp.stack([a * nh[..., 0], a * nh[..., 1],
+                             jnp.maximum(nh[..., 2], 0.0)], axis=-1))
+    return h
+
+
+def ggx_pdf_h(cos_h, cos_in, cos_r, roughness):
+    """VNDF pdf of half vector h given incident wi (ggx.h:167-201):
+    G1(wi) |wi.h| D(h) / |wi.n| — in half-vector solid angle measure."""
+    d = ggx_ndf(cos_h, roughness)
+    g1 = ggx_smith_g1(cos_in, roughness)
+    return jnp.abs(g1 * cos_r * d / jnp.where(jnp.abs(cos_in) < 1e-8, 1e-8, cos_in))
+
+
+# --- diffuse ---------------------------------------------------------------
+
+def diffuse_sample(sp: ShadingPoint, wi, r1, r2):
+    """Cosine sampling off the shading normal (reference shader.c:164-203).
+    Returns (wo, pdf_proj[...,MF], weight[...,MF])."""
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    gn = jnp.where(sp.inside[..., None], -sp.gn, sp.gn)
+    u, v = build_onb(n)
+    phi = 2.0 * jnp.pi * r2
+    s = jnp.sqrt(r1)
+    z = jnp.sqrt(jnp.maximum(1.0 - r1, 0.0))
+    wo = (z[..., None] * n + (s * jnp.cos(phi))[..., None] * u
+          + (s * jnp.sin(phi))[..., None] * v)
+    pdf = jnp.full(sp.rd.shape, 1.0 / jnp.pi)
+    # reject directions below the geometric horizon (sample_d sidedness check)
+    ok = dot(gn, wo) > 0.0
+    w = jnp.where(ok[..., None], sp.rd, 0.0)
+    return wo, pdf, w
+
+
+def diffuse_eval(sp: ShadingPoint, wi, wo):
+    """f = rd/pi on the correct side (reference brdf_d)."""
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    gn = jnp.where(sp.inside[..., None], -sp.gn, sp.gn)
+    ok = (dot(n, wo) > 0.0) & (dot(gn, wo) > 0.0) & (dot(n, -wi) > 0.0)
+    return jnp.where(ok[..., None], sp.rd / jnp.pi, 0.0)
+
+
+def diffuse_pdf(sp: ShadingPoint, wi, wo):
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    ok = (dot(n, wo) > 0.0) & (dot(n, -wi) > 0.0)
+    return jnp.where(ok[..., None], jnp.full(sp.rd.shape, 1.0 / jnp.pi), 0.0)
+
+
+# --- rough/smooth dielectric ----------------------------------------------
+
+def _dielectric_half_eta(sp: ShadingPoint):
+    """n1, n2 for the current propagation direction ('fake etas' trick:
+    n1 = eta_ratio, n2 = 1, dielectric.c:246)."""
+    return sp.eta_ratio, jnp.ones_like(sp.eta_ratio)
+
+
+def dielectric_sample(sp: ShadingPoint, wi, r1, r2, r_mode):
+    """GGX dielectric sampling (reference dielectric.c:240-420).
+
+    Hero-wavelength handling: reflection keeps all lanes (fresnel per lane);
+    glossy transmission reconstructs per-lane half vectors; *specular*
+    transmission collapses to the hero lane only (mask = mf_hero).
+    Returns (wo, pdf_proj[MF], weight[MF], is_specular, did_transmit).
+    """
+    mf = sp.eta_ratio.shape[-1]
+    n1, n2 = _dielectric_half_eta(sp)
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    r = sp.roughness
+    glossy = r > GLOSSY_THR
+    cos_in = -dot(n, wi)
+
+    # half vector: VNDF sample (glossy) or the normal itself (specular)
+    u, v = build_onb(n)
+    wi_t = jnp.stack([-dot(u, wi), -dot(v, wi), cos_in], axis=-1)
+    rr = jnp.maximum(r, GLOSSY_THR)
+    h_t = ggx_sample_vndf(wi_t, rr, r1, r2)
+    h_glossy = from_frame(u, v, n, h_t)
+    h = jnp.where(glossy[..., None], h_glossy, n)
+    cos_r = -dot(wi, h)
+    pdf_h = jnp.where(glossy,
+                      ggx_pdf_h(dot(h, n), cos_in, cos_r, rr), 1.0)
+
+    # fresnel at the hero lane decides R vs T (dielectric.c:281)
+    nr = n1 / n2
+    cos_t2 = 1.0 - nr * nr * (1.0 - cos_r[..., None] ** 2)
+    cos_t = jnp.where(cos_t2 <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2, 0.0)))
+    big_r = fresnel_dielectric(n1, n2, cos_r[..., None], cos_t)
+    r_hero = big_r[..., 0]
+    do_reflect = r_mode <= r_hero
+
+    # --- reflection branch
+    wo_r = wi + 2.0 * cos_r[..., None] * h
+    pdf_r = pdf_h / (4.0 * jnp.maximum(cos_r, 1e-12))
+    cos_out_r = dot(wo_r, n)
+    g1_r = ggx_smith_g1(cos_out_r, rr)
+    ok_r = (cos_out_r > 0.0) & (cos_r > 0.0)
+    pdf_proj_r = jnp.where(glossy[..., None],
+                           big_r * (pdf_r / jnp.maximum(jnp.abs(cos_out_r), 1e-12))[..., None],
+                           big_r)
+    w_r = jnp.where(glossy[..., None], sp.rg * g1_r[..., None], sp.rg)
+    w_r = jnp.where(ok_r[..., None], w_r, 0.0)
+
+    # --- transmission branch (hero lane direction)
+    eta0 = sp.eta_ratio[..., 0]
+    f = eta0 * cos_r - cos_t[..., 0]
+    wo_t = normalize(wi * eta0[..., None] + f[..., None] * h)
+    cos_out_t = dot(wo_t, n)
+    ok_t = (cos_out_t < 0.0) & (cos_r > 0.0) & (cos_t2[..., 0] > 0.0)
+
+    # per-lane half-vector reconstruction for glossy transmit
+    h_l = n1[..., None] * wi[..., None, :] - n2[..., None] * wo_t[..., None, :]
+    h_l = normalize(h_l)
+    flip = (n1 < n2)[..., None]
+    h_l = jnp.where(flip, -h_l, h_l)
+    cos_h_l = jnp.sum(h_l * n[..., None, :], axis=-1)
+    cos_r_l = jnp.sum(h_l * (-wi[..., None, :]), axis=-1)
+    lane_ok = (cos_h_l > 0.0) & (cos_r_l > 0.0)
+    cos_t2_l = 1.0 - nr * nr * (1.0 - cos_r_l * cos_r_l)
+    cos_t_l = jnp.where(cos_t2_l <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_l, 0.0)))
+    r_l = fresnel_dielectric(n1, n2, cos_r_l, cos_t_l)
+    denom = n1 * cos_r_l - n2 * cos_t_l
+    jac_t = n2 * n2 * cos_t_l / jnp.maximum(denom * denom, 1e-20)
+    pdf_h_l = ggx_pdf_h(cos_h_l, cos_in[..., None], cos_r_l, rr[..., None])
+    pdf_proj_t_glossy = jnp.where(
+        lane_ok, pdf_h_l * jac_t * (1.0 - r_l)
+        / jnp.maximum(jnp.abs(cos_out_t)[..., None], 1e-12), 0.0)
+    g1_t = ggx_smith_g1(cos_out_t, rr)
+
+    hero_mask = jnp.arange(mf) == 0
+    pdf_proj_t = jnp.where(glossy[..., None], pdf_proj_t_glossy,
+                           jnp.where(hero_mask, 1.0 - big_r, 0.0))
+    w_t_glossy = jnp.where(lane_ok, sp.rg * g1_t[..., None], 0.0)
+    w_t_spec = jnp.where(hero_mask, sp.rg, 0.0)
+    w_t = jnp.where(glossy[..., None], w_t_glossy, w_t_spec)
+    w_t = jnp.where(ok_t[..., None], w_t, 0.0)
+
+    wo = jnp.where(do_reflect[..., None], wo_r, wo_t)
+    pdf = jnp.where(do_reflect[..., None], pdf_proj_r, pdf_proj_t)
+    # weight = f/p: mode-selection probability R (or 1-R) cancels per hero
+    # lane; pdf above keeps the full R-weighted value for MIS like the
+    # reference stores in v[v+1].pdf.
+    w = jnp.where(do_reflect[..., None], w_r, w_t)
+    is_spec = ~glossy
+    return wo, pdf, w, is_spec, ~do_reflect
+
+
+def dielectric_eval_pdf(sp: ShadingPoint, wi, wo):
+    """Joint eval + pdf for a given (wi, wo) pair — glossy lobes only;
+    specular lobes evaluate to 0 like the reference brdf for NEE.
+    Returns (f[MF], pdf_proj[MF])."""
+    n1, n2 = _dielectric_half_eta(sp)
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    r = sp.roughness
+    rr = jnp.maximum(r, GLOSSY_THR)
+    glossy = r > GLOSSY_THR
+    cos_in = -dot(n, wi)
+    cos_out = dot(n, wo)
+    reflectb = cos_out > 0.0
+
+    nr = n1 / n2
+
+    # reflection half vector (lane independent)
+    h_r = normalize(wi - wo)
+    h_r = jnp.where(dot(h_r, n)[..., None] < 0.0, -h_r, h_r)
+    cos_h_r = jnp.abs(dot(h_r, n))
+    cos_r_r = jnp.abs(dot(h_r, wi))
+    cos_t2_r = 1.0 - nr * nr * (1.0 - cos_r_r[..., None] ** 2)
+    cos_t_r = jnp.where(cos_t2_r <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_r, 0.0)))
+    big_r_r = fresnel_dielectric(n1, n2, cos_r_r[..., None], cos_t_r)
+    d_r = ggx_ndf(cos_h_r, rr)
+    g2_r = (ggx_smith_g1(cos_in, rr) * ggx_smith_g1(cos_out, rr))
+    # microfacet BSDF value: F D G2 / (4 |cos_in| |cos_out|)
+    f_refl = big_r_r * (d_r * g2_r / jnp.maximum(
+        4.0 * jnp.abs(cos_in) * jnp.abs(cos_out), 1e-12))[..., None] * sp.rg
+    pdf_h_r = ggx_pdf_h(cos_h_r, cos_in, cos_r_r, rr)
+    pdf_refl = big_r_r * (pdf_h_r / jnp.maximum(
+        4.0 * cos_r_r * jnp.abs(cos_out), 1e-12))[..., None]
+
+    # transmission (per-lane half vectors, dielectric.c:168-190)
+    h_l = n1[..., None] * wi[..., None, :] - n2[..., None] * wo[..., None, :]
+    h_l = normalize(h_l)
+    h_l = jnp.where((n1 < n2)[..., None], -h_l, h_l)
+    cos_h_l = jnp.sum(h_l * n[..., None, :], axis=-1)
+    cos_r_l = jnp.sum(h_l * (-wi[..., None, :]), axis=-1)
+    lane_ok = (cos_h_l > 0.0) & (cos_r_l > 0.0)
+    cos_t2_l = 1.0 - nr * nr * (1.0 - cos_r_l * cos_r_l)
+    cos_t_l = jnp.where(cos_t2_l <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_l, 0.0)))
+    big_r_l = fresnel_dielectric(n1, n2, cos_r_l, cos_t_l)
+    denom = n1 * cos_r_l - n2 * cos_t_l
+    jac = n2 * n2 * cos_t_l / jnp.maximum(denom * denom, 1e-20)
+    d_l = ggx_ndf(cos_h_l, rr[..., None])
+    g2_l = (ggx_smith_g1(cos_in, rr) * ggx_smith_g1(cos_out, rr))[..., None]
+    # transmissive microfacet bsdf (Walter et al. 2007 eq. 21 analogue)
+    f_trans = (1.0 - big_r_l) * d_l * g2_l * cos_r_l * jac \
+        / jnp.maximum(jnp.abs(cos_in) * jnp.abs(cos_out), 1e-12)[..., None] * sp.rg
+    f_trans = jnp.where(lane_ok, f_trans, 0.0)
+    pdf_h_l = ggx_pdf_h(cos_h_l, cos_in[..., None], cos_r_l, rr[..., None])
+    pdf_trans = jnp.where(lane_ok, pdf_h_l * jac * (1.0 - big_r_l)
+                          / jnp.maximum(jnp.abs(cos_out), 1e-12)[..., None], 0.0)
+
+    f = jnp.where(reflectb[..., None], f_refl, f_trans)
+    pdf = jnp.where(reflectb[..., None], pdf_refl, pdf_trans)
+    valid = glossy & (cos_in > 0.0)
+    f = jnp.where(valid[..., None], f, 0.0)
+    pdf = jnp.where(valid[..., None], pdf, 0.0)
+    return f, pdf
+
+
+# --- metal (conductor) -----------------------------------------------------
+
+def metal_sample(sp: ShadingPoint, wi, r1, r2):
+    """GGX conductor; rough or specular mirror (reference metal.c)."""
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    r = sp.roughness
+    rr = jnp.maximum(r, GLOSSY_THR)
+    glossy = r > GLOSSY_THR
+    cos_in = -dot(n, wi)
+    u, v = build_onb(n)
+    wi_t = jnp.stack([-dot(u, wi), -dot(v, wi), cos_in], axis=-1)
+    h_t = ggx_sample_vndf(wi_t, rr, r1, r2)
+    h = jnp.where(glossy[..., None], from_frame(u, v, n, h_t), n)
+    cos_r = -dot(wi, h)
+    wo = wi + 2.0 * cos_r[..., None] * h
+    cos_out = dot(wo, n)
+    fr = fresnel_conductor(sp.fresnel_eta, sp.fresnel_k, cos_r[..., None])
+    pdf_h = jnp.where(glossy, ggx_pdf_h(dot(h, n), cos_in, cos_r, rr), 1.0)
+    pdf = jnp.where(glossy[..., None],
+                    (pdf_h / (4.0 * jnp.maximum(cos_r, 1e-12))
+                     / jnp.maximum(jnp.abs(cos_out), 1e-12))[..., None],
+                    jnp.ones_like(fr))
+    g1o = ggx_smith_g1(cos_out, rr)
+    w = fr * sp.rg * jnp.where(glossy, g1o, 1.0)[..., None]
+    ok = (cos_out > 0.0) & (cos_r > 0.0) & (cos_in > 0.0)
+    w = jnp.where(ok[..., None], w, 0.0)
+    return wo, pdf, w, ~glossy
+
+
+def metal_eval_pdf(sp: ShadingPoint, wi, wo):
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    r = sp.roughness
+    rr = jnp.maximum(r, GLOSSY_THR)
+    glossy = r > GLOSSY_THR
+    cos_in = -dot(n, wi)
+    cos_out = dot(n, wo)
+    h = normalize(wi - wo)
+    h = jnp.where(dot(h, n)[..., None] < 0.0, -h, h)
+    cos_h = jnp.abs(dot(h, n))
+    cos_r = jnp.abs(dot(h, wi))
+    fr = fresnel_conductor(sp.fresnel_eta, sp.fresnel_k, cos_r[..., None])
+    d = ggx_ndf(cos_h, rr)
+    g2 = ggx_smith_g1(cos_in, rr) * ggx_smith_g1(cos_out, rr)
+    f = fr * sp.rg * (d * g2 / jnp.maximum(4.0 * jnp.abs(cos_in) * jnp.abs(cos_out), 1e-12))[..., None]
+    pdf_h = ggx_pdf_h(cos_h, cos_in, cos_r, rr)
+    pdf = (pdf_h / jnp.maximum(4.0 * cos_r * jnp.abs(cos_out), 1e-12))[..., None]
+    pdf = jnp.broadcast_to(pdf, f.shape)
+    valid = glossy & (cos_in > 0.0) & (cos_out > 0.0)
+    return (jnp.where(valid[..., None], f, 0.0),
+            jnp.where(valid[..., None], pdf, 0.0))
+
+
+# --- dispatch --------------------------------------------------------------
+
+def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode):
+    """Sample all lobes and select by material kind.
+
+    Returns (wo, pdf_proj[MF], weight[MF], mode_bits[int32]).
+    """
+    wo_d, pdf_d, w_d = diffuse_sample(sp, wi, r1, r2)
+    wo_g, pdf_g, w_g, spec_g, trans_g = dielectric_sample(sp, wi, r1, r2, r_mode)
+    wo_m, pdf_m, w_m, spec_m = metal_sample(sp, wi, r1, r2)
+
+    is_d = sp.kind == DIFFUSE
+    is_g = sp.kind == DIELECTRIC
+    is_m = sp.kind == METAL
+
+    wo = jnp.where(is_d[..., None], wo_d, jnp.where(is_g[..., None], wo_g, wo_m))
+    pdf = jnp.where(is_d[..., None], pdf_d, jnp.where(is_g[..., None], pdf_g, pdf_m))
+    w = jnp.where(is_d[..., None], w_d, jnp.where(is_g[..., None], w_g, w_m))
+
+    mode = jnp.where(is_d, MODE_DIFFUSE | MODE_REFLECT, 0)
+    g_mode = jnp.where(spec_g, MODE_SPECULAR, MODE_GLOSSY) | \
+        jnp.where(trans_g, MODE_TRANSMIT, MODE_REFLECT)
+    mode = jnp.where(is_g, g_mode, mode)
+    m_mode = jnp.where(spec_m, MODE_SPECULAR, MODE_GLOSSY) | MODE_REFLECT
+    mode = jnp.where(is_m, m_mode, mode)
+    mode = jnp.where(jnp.any(w > 0.0, axis=-1), mode, MODE_ABSORB)
+    return wo, pdf, w, mode.astype(jnp.int32)
+
+
+def bsdf_eval_pdf(sp: ShadingPoint, wi, wo):
+    """Evaluate f and pdf for a connection direction (NEE / MIS).
+    Specular lobes return 0 (cannot be hit by connections)."""
+    f_d = diffuse_eval(sp, wi, wo)
+    p_d = diffuse_pdf(sp, wi, wo)
+    f_g, p_g = dielectric_eval_pdf(sp, wi, wo)
+    f_m, p_m = metal_eval_pdf(sp, wi, wo)
+    is_d = (sp.kind == DIFFUSE)[..., None]
+    is_g = (sp.kind == DIELECTRIC)[..., None]
+    f = jnp.where(is_d, f_d, jnp.where(is_g, f_g, f_m))
+    pdf = jnp.where(is_d, p_d, jnp.where(is_g, p_g, p_m))
+    return f, pdf

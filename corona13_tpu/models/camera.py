@@ -1,0 +1,79 @@
+"""Thin-lens camera model.
+
+Faithful to the reference thinlens math (corona-13 src/camera.d/thinlens.c):
+photographic parameterization (f-stop / exposure-index tables in io/cam.py),
+sensor response constant, cos^4 falloff, aperture disk sampling, and the
+same measure bookkeeping: camera_sample returns
+  throughput = sensor * G / (pdf_aperture * pdf_film)
+with v1 pdf = pdf_film * pdf_aperture / G in *projected solid angle*
+(thinlens.c:90-112), later converted to vertex area by the path G term.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils.math import normalize, quat_rotate, quat_slerp
+
+SENSOR_RESPONSE = 106.86535  # X+Y+Z=1 -> visible scale (thinlens.c:28)
+
+
+def cam_frame(camera, time):
+    """Camera basis at shutter time: right (a), up (b), view (n), position.
+    Mirrors view_cam_init_frame (src/view.c:903-919): a = q*x, b = q*y,
+    n = q*z."""
+    t = jnp.asarray(time)[..., None]
+    q = quat_slerp(camera.orient, camera.orient_t1, t)
+    ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), q.shape[:-1] + (3,))
+    ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), q.shape[:-1] + (3,))
+    ez = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), q.shape[:-1] + (3,))
+    a = normalize(quat_rotate(q, ex))
+    b = normalize(quat_rotate(q, ey))
+    n = normalize(quat_rotate(q, ez))
+    x = camera.pos * (1.0 - t) + camera.pos_t1 * t
+    return a, b, n, x
+
+
+def aperture_area(camera):
+    f = camera.focal_length
+    n = camera.f_stop
+    return jnp.pi * f * f / (4.0 * n * n)
+
+
+def sample(camera, width: int, height: int, pix_i, pix_j, r_ap1, r_ap2, time):
+    """Generate primary rays for pixels (pix_i, pix_j) (continuous coords).
+
+    Returns (org, dir, throughput, pdf_proj) — pdf in projected solid angle,
+    throughput = sensor*G/(pdf_a*pdf_v) exactly like _camera_sample_internal
+    (thinlens.c:70-113).
+    """
+    a, b, n, x = cam_frame(camera, time)
+    lens_radius = 0.5 / camera.f_stop * camera.focal_length
+    phi = 2.0 * jnp.pi * r_ap1
+    rad = jnp.sqrt(r_ap2) * lens_radius
+    u = jnp.cos(phi) * rad
+    v = jnp.sin(phi) * rad
+
+    f = camera.focus / camera.focal_length
+    f_dir = camera.focus
+    f_rg = -camera.film_width * f / width
+    f_up = -camera.film_height * f / height
+
+    aoff = u[..., None] * a + v[..., None] * b
+    d = (f_dir * n
+         + ((pix_i - 0.5 * width) * f_rg)[..., None] * a
+         + ((pix_j - 0.5 * height) * f_up)[..., None] * b
+         - aoff)
+    d = normalize(d)
+    org = x + aoff
+
+    area = aperture_area(camera)
+    pdf_a = 1.0 / area
+    sensor = SENSOR_RESPONSE * 100.0 * camera.exposure_time
+    cos_t = jnp.sum(d * n, axis=-1)
+    g = cos_t ** 4 / (camera.focal_length * camera.focal_length)
+    pdf_v = 1.0 / (camera.film_width * camera.film_height)
+    pdf_proj = pdf_v * pdf_a / g
+    throughput = sensor * g / (pdf_a * pdf_v)
+    return org, d, throughput, pdf_proj

@@ -1,0 +1,200 @@
+"""Host-side BVH construction (binned SAH) with a flat, stackless layout.
+
+TPU-native re-design of the reference's 4-wide SIMD QBVH
+(corona-13 src/accel.d/qbvhmp.c): instead of a wide tree traversed with a
+per-thread stack, we build a binary SAH tree and flatten it in DFS order
+with *skip links*, so traversal on device is a single node pointer walked
+by a lockstep while-loop — no per-lane stack, which is the representation
+that maps onto the VPU/Pallas (see ops/trace.py).
+
+The builder runs on host in numpy at scene-load time (the reference builds
+its BVH on the CPU pool too, qbvhmp.c:877-1067) and the arrays are uploaded
+once per scene.
+
+Layout (all arrays length = number of nodes, DFS/preorder):
+  node_min/max [N, 3]  AABB
+  node_skip    [N]     next node when the AABB test fails (or after a leaf)
+  node_first   [N]     first entry in ``leaf_prims`` for leaves, -1 for inner
+  leaf_prims   [M]     primitive indices, each leaf padded to LEAF_SIZE with -1
+On an AABB hit at an inner node, traversal continues at node+1 (the near
+child is first in DFS order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+LEAF_SIZE = 4
+SAH_BINS = 16
+
+
+@dataclasses.dataclass
+class FlatBVH:
+    node_min: np.ndarray   # [N, 3] float32
+    node_max: np.ndarray   # [N, 3] float32
+    node_skip: np.ndarray  # [N] int32
+    node_first: np.ndarray # [N] int32 (-1 = inner node)
+    leaf_prims: np.ndarray # [M] int32, padded with -1
+    n_prims: int
+
+
+def _empty_bvh() -> FlatBVH:
+    return FlatBVH(
+        node_min=np.full((1, 3), np.inf, np.float32),
+        node_max=np.full((1, 3), -np.inf, np.float32),
+        node_skip=np.array([1], np.int32),
+        node_first=np.array([0], np.int32),
+        leaf_prims=np.full(LEAF_SIZE, -1, np.int32),
+        n_prims=0,
+    )
+
+
+def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBVH:
+    """Binned-SAH binary BVH over primitive AABBs.
+
+    prim_min/prim_max: [P, 3].  Equivalent role to the reference's binned
+    SAH build (qbvhmp.c:93-170) minus the thread-pool parallelism — numpy
+    vectorization over primitives replaces the job queue.
+    """
+    p_min = np.asarray(prim_min, np.float32)
+    p_max = np.asarray(prim_max, np.float32)
+    n = len(p_min)
+    if n == 0:
+        return _empty_bvh()
+    cent = 0.5 * (p_min + p_max)
+
+    # recursion via explicit stack; children emitted in DFS preorder.
+    nodes_min, nodes_max, nodes_first, parent_of, is_right = [], [], [], [], []
+    leaf_prims: list[np.ndarray] = []
+
+    def emit(idx_set, parent, right):
+        nodes_min.append(p_min[idx_set].min(axis=0))
+        nodes_max.append(p_max[idx_set].max(axis=0))
+        nodes_first.append(-1)
+        parent_of.append(parent)
+        is_right.append(right)
+        return len(nodes_min) - 1
+
+    # worklist DFS so preorder holds: process left child immediately
+    stack = [(np.arange(n), -1, False)]
+    while stack:
+        idx_set, parent, right = stack.pop()
+        me = emit(idx_set, parent, right)
+        if len(idx_set) <= LEAF_SIZE:
+            nodes_first[me] = len(leaf_prims) * LEAF_SIZE
+            pad = np.full(LEAF_SIZE, -1, np.int64)
+            pad[:len(idx_set)] = idx_set
+            leaf_prims.append(pad)
+            continue
+        c = cent[idx_set]
+        lo = c.min(axis=0)
+        hi = c.max(axis=0)
+        ext = hi - lo
+        axis = int(np.argmax(ext))
+        if ext[axis] <= 1e-12:
+            # degenerate: median split by index
+            half = len(idx_set) // 2
+            left_sel = np.zeros(len(idx_set), bool)
+            left_sel[:half] = True
+        else:
+            # binned SAH along the widest centroid axis
+            bins = np.minimum(
+                ((c[:, axis] - lo[axis]) / ext[axis] * SAH_BINS).astype(np.int64),
+                SAH_BINS - 1)
+            bin_count = np.bincount(bins, minlength=SAH_BINS)
+            bmin = np.full((SAH_BINS, 3), np.inf, np.float32)
+            bmax = np.full((SAH_BINS, 3), -np.inf, np.float32)
+            for k in range(3):
+                np.minimum.at(bmin[:, k], bins, p_min[idx_set][:, k])
+                np.maximum.at(bmax[:, k], bins, p_max[idx_set][:, k])
+            # prefix/suffix surface areas
+            def areas(mins, maxs, counts, rev=False):
+                if rev:
+                    mins, maxs, counts = mins[::-1], maxs[::-1], counts[::-1]
+                cmin = np.minimum.accumulate(mins, axis=0)
+                cmax = np.maximum.accumulate(maxs, axis=0)
+                d = np.maximum(cmax - cmin, 0.0)
+                sa = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+                cnt = np.cumsum(counts)
+                if rev:
+                    sa, cnt = sa[::-1], cnt[::-1]
+                return sa, cnt
+            sa_l, cnt_l = areas(bmin, bmax, bin_count)
+            sa_r, cnt_r = areas(bmin, bmax, bin_count, rev=True)
+            # cost of splitting after bin k: left=bins[0..k], right=bins[k+1..]
+            cost = sa_l[:-1] * cnt_l[:-1] + sa_r[1:] * cnt_r[1:]
+            cost = np.where((cnt_l[:-1] == 0) | (cnt_r[1:] == 0), np.inf, cost)
+            k = int(np.argmin(cost))
+            if not np.isfinite(cost[k]):
+                half = len(idx_set) // 2
+                order = np.argsort(c[:, axis], kind='stable')
+                left_sel = np.zeros(len(idx_set), bool)
+                left_sel[order[:half]] = True
+            else:
+                left_sel = bins <= k
+        left = idx_set[left_sel]
+        right_idx = idx_set[~left_sel]
+        # push right first so left is processed next (preorder)
+        stack.append((right_idx, me, True))
+        stack.append((left, me, False))
+
+    n_nodes = len(nodes_min)
+    node_min = np.stack(nodes_min).astype(np.float32)
+    node_max = np.stack(nodes_max).astype(np.float32)
+    node_first = np.asarray(nodes_first, np.int32)
+
+    # skip links: for node i, skip = right sibling of the nearest ancestor
+    # (or itself) that has one; right children skip to parent's skip.
+    # compute children from parent links:
+    right_child = np.full(n_nodes, -1, np.int32)
+    for i in range(1, n_nodes):
+        if is_right[i]:
+            right_child[parent_of[i]] = i
+    # skip[i]: left children continue at their right sibling, right children
+    # inherit the parent's skip (preorder guarantees parents come first).
+    node_skip = np.full(n_nodes, n_nodes, np.int32)
+    node_skip[0] = n_nodes
+    for i in range(1, n_nodes):
+        p = parent_of[i]
+        if is_right[i]:
+            node_skip[i] = node_skip[p]
+        else:
+            node_skip[i] = right_child[p] if right_child[p] >= 0 else node_skip[p]
+
+    lp = (np.stack(leaf_prims).reshape(-1).astype(np.int32)
+          if leaf_prims else np.full(LEAF_SIZE, -1, np.int32))
+    return FlatBVH(node_min=node_min, node_max=node_max,
+                   node_skip=node_skip.astype(np.int32),
+                   node_first=node_first, leaf_prims=lp, n_prims=n)
+
+
+def tri_bounds(tri_vtx: np.ndarray, tri_vtx_t1: np.ndarray | None = None):
+    """AABBs of triangles (union over shutter times, like the dual (t0,t1)
+    node boxes in qbvhmp.c:62-81 but conservative)."""
+    lo = tri_vtx.min(axis=1)
+    hi = tri_vtx.max(axis=1)
+    if tri_vtx_t1 is not None:
+        lo = np.minimum(lo, tri_vtx_t1.min(axis=1))
+        hi = np.maximum(hi, tri_vtx_t1.max(axis=1))
+    return lo, hi
+
+
+def sphere_bounds(center, radius, center_t1=None):
+    lo = center - radius[:, None]
+    hi = center + radius[:, None]
+    if center_t1 is not None:
+        lo = np.minimum(lo, center_t1 - radius[:, None])
+        hi = np.maximum(hi, center_t1 + radius[:, None])
+    return lo, hi
+
+
+def line_bounds(line_vtx, line_radii, line_vtx_t1=None):
+    r = line_radii.max(axis=1)[:, None]
+    lo = line_vtx.min(axis=1) - r
+    hi = line_vtx.max(axis=1) + r
+    if line_vtx_t1 is not None:
+        lo = np.minimum(lo, line_vtx_t1.min(axis=1) - r)
+        hi = np.maximum(hi, line_vtx_t1.max(axis=1) + r)
+    return lo, hi

@@ -1,0 +1,388 @@
+"""Scene assembly: .nra2 + .geo + .cam -> device pytrees.
+
+Replaces the reference's runtime-plugin shader system (corona-13
+src/shader.c dlopen vtables) with static resolution at load time: every
+scene material is flattened into one row of a SoA material table (the
+``mult`` pre-shader chains of src/shaders/mult.c collapse into slot
+assignments, since prepare() chains in the reference only ever fill
+vertex_shading_t slots), and the BSDF host becomes an enum dispatched on
+device (models/bsdf.py).
+
+Spectral albedos are fitted to sigmoid-polynomial coefficients at load via
+spectral/rgb2spec.fit_coeff — equivalent to the reference's LUT fetch in
+spectrum_rgb_to_coeff (spectrum.h:29-38) but exact per colour.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .io import nra2 as nra2_io
+from .io import geo as geo_io
+from .io import cam as cam_io
+from .ops import bvh as bvh_mod
+from .ops.trace import DeviceBVH, DeviceGeometry
+from .spectral import rgb2spec
+
+# sky kinds
+SKY_BLACK = 0
+SKY_CONST = 1
+SKY_CLOUDY = 2
+SKY_ENVMAP = 3
+
+from .models.bsdf import DIFFUSE, DIELECTRIC, METAL
+
+
+@struct.dataclass
+class MaterialTable:
+    """SoA of resolved materials; one row per scene shader id."""
+    kind: jnp.ndarray          # [M] int32 host bsdf
+    d_coeff: jnp.ndarray       # [M, 3] sigmoid coeffs for diffuse albedo
+    d_mul: jnp.ndarray         # [M]
+    g_coeff: jnp.ndarray       # [M, 3] glossy
+    g_mul: jnp.ndarray         # [M]
+    e_coeff: jnp.ndarray       # [M, 3] emission
+    e_mul: jnp.ndarray         # [M]
+    roughness: jnp.ndarray     # [M]
+    ior_nd: jnp.ndarray        # [M] dielectric n_d
+    ior_abbe: jnp.ndarray      # [M] dielectric Abbe number
+    use_checker: jnp.ndarray   # [M] bool: diffuse albedo from the IT8 chart
+    checker_spectra: jnp.ndarray  # [140, 36] measured patch reflectances
+    # homogeneous interior medium (medium_rgb), consumed by samplers w/ media
+    med_mut_coeff: jnp.ndarray # [M, 3]
+    med_mut_mul: jnp.ndarray   # [M]
+    med_mus_coeff: jnp.ndarray # [M, 3] volume albedo ('color v' slot)
+    med_mus_mul: jnp.ndarray   # [M]
+    med_g: jnp.ndarray         # [M] HG mean cosine
+    med_enabled: jnp.ndarray   # [M] bool
+
+
+@struct.dataclass
+class LightTable:
+    """Flat emitter CDF over prims, area*L weighted — the analogue of
+    src/lights.d/list.c:56-105."""
+    prim: jnp.ndarray       # [K] global prim id of each emissive prim
+    cdf: jnp.ndarray        # [K] inclusive normalized CDF
+    weight: jnp.ndarray     # [K] L / sum(L*A): NEE area pdf of each prim
+    area: jnp.ndarray       # [K] prim area
+    # per-prim reverse lookup: global prim -> light weight (0 if not a light)
+    prim_weight: jnp.ndarray  # [P]
+
+    @property
+    def n_lights(self):
+        return self.prim.shape[0]
+
+
+@struct.dataclass
+class CameraP:
+    """Device camera pytree (thinlens parameters, models/camera.py)."""
+    pos: jnp.ndarray
+    pos_t1: jnp.ndarray
+    orient: jnp.ndarray
+    orient_t1: jnp.ndarray
+    focus: jnp.ndarray
+    focal_length: jnp.ndarray
+    film_width: jnp.ndarray
+    film_height: jnp.ndarray
+    f_stop: jnp.ndarray
+    exposure_time: jnp.ndarray
+    iso: jnp.ndarray
+
+
+@struct.dataclass
+class Scene:
+    geom: DeviceGeometry
+    materials: MaterialTable
+    lights: LightTable
+    camera: CameraP
+    prim_shader: jnp.ndarray   # [P] global prim -> material id
+    sky_kind: jnp.ndarray      # int32
+    sky_coeff: jnp.ndarray     # [3] emission spectrum coeffs (const sky)
+    sky_mul: jnp.ndarray
+
+
+@dataclasses.dataclass
+class _ResolvedMat:
+    kind: int = DIFFUSE
+    d_rgb: tuple = (0.0, 0.0, 0.0)
+    g_rgb: tuple = (0.0, 0.0, 0.0)
+    e_rgb: tuple = (0.0, 0.0, 0.0)
+    roughness: float = 1.0
+    ior_nd: float = 1.5
+    ior_abbe: float = 50.0
+    use_checker: bool = False
+    med_mfp_rgb: tuple = (0.0, 0.0, 0.0)
+    med_albedo_rgb: tuple = (0.0, 0.0, 0.0)
+    med_g: float = 0.0
+    med_enabled: bool = False
+    emissive_L: float = 0.0    # scalar brightness for the light CDF
+
+
+def _resolve_materials(desc: nra2_io.SceneDesc) -> list[_ResolvedMat]:
+    """Flatten shader descriptions incl. mult chains into material rows."""
+    out = []
+    for idx, sh in enumerate(desc.shaders):
+        m = _ResolvedMat()
+        _apply_shader(desc, idx, sh, m, is_host=True)
+        out.append(m)
+    return out
+
+
+def _apply_shader(desc, idx, sh, m: _ResolvedMat, is_host: bool):
+    name = sh.name
+    a = sh.args
+    if name == 'diffuse':
+        m.kind = DIFFUSE
+    elif name == 'color':
+        slot = a[0]
+        rgb = tuple(float(x) for x in a[1:4])
+        rough = float(a[4]) if len(a) > 4 else None
+        if slot == 'd':
+            m.d_rgb = rgb
+        elif slot == 'g':
+            m.g_rgb = rgb
+            if rough is not None:
+                m.roughness = rough
+        elif slot == 's':
+            m.g_rgb = rgb  # specular slot feeds rs; we fold into rg for now
+        elif slot == 'e':
+            m.e_rgb = rgb
+            if rough is not None and rough != 1.0:
+                m.roughness = rough
+            m.emissive_L = max(rgb)  # refined below with spectrum avg
+        elif slot == 'v':
+            m.med_albedo_rgb = rgb
+        if slot == 'd' and rough is not None:
+            m.roughness = rough
+    elif name == 'colorcheckersg':
+        m.use_checker = True
+    elif name == 'dielectric':
+        m.kind = DIELECTRIC
+        m.ior_nd = float(a[0])
+        m.ior_abbe = float(a[1]) if len(a) > 1 else 50.0
+        if m.g_rgb == (0.0, 0.0, 0.0):
+            m.g_rgb = (1.0, 1.0, 1.0)
+        if is_host:
+            pass
+    elif name == 'metal' or name == 'mmetal':
+        m.kind = METAL
+        if m.g_rgb == (0.0, 0.0, 0.0):
+            m.g_rgb = (1.0, 1.0, 1.0)
+    elif name in ('medium_rgb', 'medium_poe'):
+        m.med_mfp_rgb = tuple(float(x) for x in a[0:3])
+        m.med_g = float(a[3]) if len(a) > 3 else 0.0
+        m.med_enabled = True
+    elif name == 'mult':
+        # mult <num> <pre...> <host> (src/shaders/mult.c:81-113)
+        num = int(a[0])
+        pres = [int(x) for x in a[1:1 + num]]
+        host = int(a[1 + num])
+        if host < 0:
+            host = idx + host
+        for k, p in enumerate(pres):
+            pi = idx + p if p < 0 else p
+            _apply_shader(desc, pi, desc.shaders[pi], m, is_host=False)
+        _apply_shader(desc, host, desc.shaders[host], m, is_host=True)
+    elif name == 'interior':
+        # interior <medium shader id>
+        if a:
+            pi = int(a[0])
+            _apply_shader(desc, pi, desc.shaders[pi], m, is_host=False)
+    # unknown shaders: keep defaults (diffuse grey would be safer than crash)
+
+
+def _fit(rgbs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    coeff, mul = rgb2spec.fit_coeff_scaled(rgbs, space='ergb')
+    # exact zero for black inputs (the sigmoid floor is ~1e-3, which would
+    # otherwise make every surface an emitter in the light CDF)
+    mul = np.where(rgbs.max(axis=-1) <= 0.0, 0.0, mul)
+    return coeff.astype(np.float32), mul.astype(np.float32)
+
+
+def load_scene(nra2_path: str, cam_path: str | None = None,
+               searchpath: str | None = None) -> tuple[Scene, cam_io.CameraData]:
+    desc = nra2_io.parse_nra2(nra2_path, searchpath)
+    mats = _resolve_materials(desc)
+
+    # --- geometry: concatenate all shapes into global prim arrays
+    tri_v, tri_n, tri_uvs, tri_half, tri_sh = [], [], [], [], []
+    sph_c, sph_r, sph_sh = [], [], []
+    lin_v0, lin_v1, lin_r0, lin_r1, lin_sh = [], [], [], [], []
+    # remember per-shape prim spans for the light table
+    shape_tri_spans = []  # (shader, start, count, areas)
+    for shp in desc.shapes:
+        if not os.path.exists(shp.geo_path):
+            # the reference discards shapes whose .geo is missing with a
+            # warning (prims_load, src/prims.c:784-788) — regression scenes
+            # reference optional geometry
+            print(f"[scene] could not load geo `{shp.geo_path}', skipping shape")
+            continue
+        g = geo_io.load_geo(shp.geo_path)
+        t0 = sum(len(x) for x in tri_v)
+        tri_v.append(g.tri_vtx)
+        tri_n.append(g.tri_ns)
+        tri_uvs.append(g.tri_uv)
+        tri_half.append(g.tri_quad_half)
+        tri_sh.append(np.full(len(g.tri_vtx), shp.shader, np.int32))
+        shape_tri_spans.append((shp.shader, t0, len(g.tri_vtx)))
+        sph_c.append(g.sph_center)
+        sph_r.append(g.sph_radius)
+        sph_sh.append(np.full(len(g.sph_radius), shp.shader, np.int32))
+        lin_v0.append(g.line_vtx[:, 0])
+        lin_v1.append(g.line_vtx[:, 1])
+        lin_r0.append(g.line_radii[:, 0])
+        lin_r1.append(g.line_radii[:, 1])
+        lin_sh.append(np.full(len(g.line_radii), shp.shader, np.int32))
+
+    tri_v = np.concatenate(tri_v) if tri_v else np.zeros((0, 3, 3), np.float32)
+    tri_n = np.concatenate(tri_n) if tri_n else np.zeros((0, 3, 3), np.float32)
+    tri_uvs = np.concatenate(tri_uvs) if tri_uvs else np.zeros((0, 3, 2), np.float32)
+    tri_half = np.concatenate(tri_half) if tri_half else np.zeros((0,), np.uint8)
+    tri_sh = np.concatenate(tri_sh) if tri_sh else np.zeros((0,), np.int32)
+    sph_c = np.concatenate(sph_c) if sph_c else np.zeros((0, 3), np.float32)
+    sph_r = np.concatenate(sph_r) if sph_r else np.zeros((0,), np.float32)
+    sph_sh = np.concatenate(sph_sh) if sph_sh else np.zeros((0,), np.int32)
+    lin_v0 = np.concatenate(lin_v0) if lin_v0 else np.zeros((0, 3), np.float32)
+    lin_v1 = np.concatenate(lin_v1) if lin_v1 else np.zeros((0, 3), np.float32)
+    lin_r0 = np.concatenate(lin_r0) if lin_r0 else np.zeros((0,), np.float32)
+    lin_r1 = np.concatenate(lin_r1) if lin_r1 else np.zeros((0,), np.float32)
+    lin_sh = np.concatenate(lin_sh) if lin_sh else np.zeros((0,), np.int32)
+
+    # --- BVHs
+    tb = bvh_mod.build_bvh(*bvh_mod.tri_bounds(tri_v)) if len(tri_v) else bvh_mod.build_bvh(
+        np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32))
+    sb = bvh_mod.build_bvh(*bvh_mod.sphere_bounds(sph_c, sph_r))
+    lvtx = np.stack([lin_v0, lin_v1], axis=1) if len(lin_v0) else np.zeros((0, 2, 3), np.float32)
+    lrad = np.stack([lin_r0, lin_r1], axis=1) if len(lin_r0) else np.zeros((0, 2), np.float32)
+    lb = bvh_mod.build_bvh(*bvh_mod.line_bounds(lvtx, lrad))
+
+    geom = DeviceGeometry(
+        tri_v0=jnp.asarray(tri_v[:, 0]),
+        tri_e1=jnp.asarray(tri_v[:, 1] - tri_v[:, 0]),
+        tri_e2=jnp.asarray(tri_v[:, 2] - tri_v[:, 0]),
+        tri_vn=jnp.asarray(tri_n),
+        tri_uv=jnp.asarray(tri_uvs),
+        tri_shader=jnp.asarray(tri_sh),
+        tri_quad_half=jnp.asarray(tri_half.astype(np.int32)),
+        sph_c=jnp.asarray(sph_c), sph_r=jnp.asarray(sph_r),
+        sph_shader=jnp.asarray(sph_sh),
+        line_v0=jnp.asarray(lin_v0), line_v1=jnp.asarray(lin_v1),
+        line_r0=jnp.asarray(lin_r0), line_r1=jnp.asarray(lin_r1),
+        line_shader=jnp.asarray(lin_sh),
+        tri_bvh=DeviceBVH.from_host(tb),
+        sph_bvh=DeviceBVH.from_host(sb),
+        line_bvh=DeviceBVH.from_host(lb),
+    )
+    prim_shader = np.concatenate([tri_sh, sph_sh, lin_sh]) if (
+        len(tri_sh) + len(sph_sh) + len(lin_sh)) else np.zeros((0,), np.int32)
+
+    # --- material table (spectral fits on device)
+    M = len(mats)
+    d_rgb = np.array([m.d_rgb for m in mats], np.float32)
+    g_rgb = np.array([m.g_rgb for m in mats], np.float32)
+    e_rgb = np.array([m.e_rgb for m in mats], np.float32)
+    mfp = np.array([m.med_mfp_rgb for m in mats], np.float32)
+    med_alb = np.array([m.med_albedo_rgb for m in mats], np.float32)
+    d_c, d_m = _fit(d_rgb)
+    g_c, g_m = _fit(g_rgb)
+    e_c, e_m = _fit(e_rgb)
+    with np.errstate(divide='ignore'):
+        mut = np.where(mfp > 0.0, 1.0 / np.maximum(mfp, 1e-20), 0.0)
+    mut_c, mut_m = _fit(mut)
+    mus_c, mus_m = _fit(med_alb)
+
+    checker = np.load(os.path.join(os.path.dirname(__file__), '..',
+                                   'data', 'colorchecker_sg.npy'))
+
+    materials = MaterialTable(
+        kind=jnp.asarray(np.array([m.kind for m in mats], np.int32)),
+        d_coeff=jnp.asarray(d_c), d_mul=jnp.asarray(d_m),
+        g_coeff=jnp.asarray(g_c), g_mul=jnp.asarray(g_m),
+        e_coeff=jnp.asarray(e_c), e_mul=jnp.asarray(e_m),
+        roughness=jnp.asarray(np.array([m.roughness for m in mats], np.float32)),
+        ior_nd=jnp.asarray(np.array([m.ior_nd for m in mats], np.float32)),
+        ior_abbe=jnp.asarray(np.array([m.ior_abbe for m in mats], np.float32)),
+        use_checker=jnp.asarray(np.array([m.use_checker for m in mats], bool)),
+        checker_spectra=jnp.asarray(checker),
+        med_mut_coeff=jnp.asarray(mut_c), med_mut_mul=jnp.asarray(mut_m),
+        med_mus_coeff=jnp.asarray(mus_c), med_mus_mul=jnp.asarray(mus_m),
+        med_g=jnp.asarray(np.array([m.med_g for m in mats], np.float32)),
+        med_enabled=jnp.asarray(np.array([m.med_enabled for m in mats], bool)),
+    )
+
+    # --- light table: per emissive prim, weight = area * L_avg
+    # L_avg matches color.c shape_init: mul * mean(sigmoid at 400/480/560/660)
+    lam4 = np.array([400.0, 480.0, 560.0, 660.0], np.float32)
+    e_eval = np.asarray(rgb2spec.eval_coeff(jnp.asarray(e_c)[:, None, :],
+                                            jnp.asarray(lam4)[None, :]))
+    L_mat = e_m * e_eval.mean(axis=1)           # [M]
+
+    def tri_area(v):
+        return 0.5 * np.linalg.norm(
+            np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
+
+    areas_all = tri_area(tri_v) if len(tri_v) else np.zeros((0,), np.float32)
+    light_sel = np.nonzero(L_mat[tri_sh] > 0.0)[0] if len(tri_sh) else np.zeros((0,), np.int64)
+    if len(light_sel):
+        lw = L_mat[tri_sh[light_sel]]
+        la = areas_all[light_sel]
+        wa = lw * la
+        sum_wa = wa.sum()
+        cdf = np.cumsum(wa) / sum_wa
+        weight = lw / sum_wa   # NEE area pdf contribution L/sum(L*A), list.c:125-128
+        prim_weight = np.zeros(len(prim_shader), np.float32)
+        prim_weight[light_sel] = weight
+        lights = LightTable(
+            prim=jnp.asarray(light_sel.astype(np.int32)),
+            cdf=jnp.asarray(cdf.astype(np.float32)),
+            weight=jnp.asarray(weight.astype(np.float32)),
+            area=jnp.asarray(la.astype(np.float32)),
+            prim_weight=jnp.asarray(prim_weight),
+        )
+    else:
+        lights = LightTable(prim=jnp.zeros((0,), jnp.int32),
+                            cdf=jnp.zeros((0,)), weight=jnp.zeros((0,)),
+                            area=jnp.zeros((0,)),
+                            prim_weight=jnp.zeros((max(len(prim_shader), 1),)))
+
+    # --- camera
+    if cam_path is None:
+        guess = os.path.splitext(nra2_path)[0][:-len('test') or None]
+        cand = os.path.join(os.path.dirname(nra2_path), 'test01.cam')
+        cam_path = cand if os.path.exists(cand) else None
+    cd = cam_io.read_cam(cam_path) if cam_path else cam_io.CameraData(
+        pos=np.zeros(3, np.float32), pos_t1=np.zeros(3, np.float32),
+        orient=np.array([1, 0, 0, 0], np.float32),
+        orient_t1=np.array([1, 0, 0, 0], np.float32))
+    camera = CameraP(
+        pos=jnp.asarray(cd.pos), pos_t1=jnp.asarray(cd.pos_t1),
+        orient=jnp.asarray(cd.orient), orient_t1=jnp.asarray(cd.orient_t1),
+        focus=jnp.float32(cd.focus), focal_length=jnp.float32(cd.focal_length),
+        film_width=jnp.float32(cd.film_width),
+        film_height=jnp.float32(cd.film_height),
+        f_stop=jnp.float32(cd.f_stop),
+        exposure_time=jnp.float32(cd.exposure_time),
+        iso=jnp.float32(cd.iso))
+
+    # --- sky
+    sky_kind = {'black': SKY_BLACK, 'sky_const': SKY_CONST,
+                'const': SKY_CONST, 'cloudy': SKY_CLOUDY,
+                'cloudy_sky': SKY_CLOUDY, 'clear_sky': SKY_CLOUDY}.get(
+                    desc.sky.name, SKY_BLACK)
+    sky_rgb = np.zeros(3, np.float32)
+    if sky_kind == SKY_CONST and len(desc.sky.args) >= 3:
+        sky_rgb = np.array([float(x) for x in desc.sky.args[:3]], np.float32)
+    elif sky_kind == SKY_CLOUDY:
+        sky_rgb = np.array([0.5, 0.6, 0.8], np.float32)
+    sc, sm = _fit(sky_rgb[None])
+
+    scene = Scene(geom=geom, materials=materials, lights=lights,
+                  camera=camera, prim_shader=jnp.asarray(prim_shader),
+                  sky_kind=jnp.int32(sky_kind),
+                  sky_coeff=jnp.asarray(sc[0]), sky_mul=jnp.asarray(sm[0]))
+    return scene, cd
