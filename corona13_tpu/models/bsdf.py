@@ -83,9 +83,9 @@ def fresnel_conductor(eta, k, cos_i):
     e2 = eta * eta
     k2 = k * k
     t0 = e2 - k2 - s2
-    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 1e-12))
     t1 = a2b2 + c2
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 1e-12))
     t2 = 2.0 * a * c
     rs = (t1 - t2) / (t1 + t2)
     t3 = c2 * a2b2 + s2 * s2
@@ -133,8 +133,8 @@ def ggx_sample_vndf(wi_t, roughness, r1, r2):
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
-    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 1e-12)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 1e-12))
     nh = p1[..., None] * t1 + p2[..., None] * t2v + p3[..., None] * vh
     # unstretch
     h = normalize(jnp.stack([a * nh[..., 0], a * nh[..., 1],
@@ -221,7 +221,7 @@ def dielectric_sample(sp: ShadingPoint, wi, r1, r2, r_mode):
     # fresnel at the hero lane decides R vs T (dielectric.c:281)
     nr = n1 / n2
     cos_t2 = 1.0 - nr * nr * (1.0 - cos_r[..., None] ** 2)
-    cos_t = jnp.where(cos_t2 <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2, 0.0)))
+    cos_t = jnp.where(cos_t2 <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2, 1e-12)))
     big_r = fresnel_dielectric(n1, n2, cos_r[..., None], cos_t)
     r_hero = big_r[..., 0]
     do_reflect = r_mode <= r_hero
@@ -246,15 +246,18 @@ def dielectric_sample(sp: ShadingPoint, wi, r1, r2, r_mode):
     ok_t = (cos_out_t < 0.0) & (cos_r > 0.0) & (cos_t2[..., 0] > 0.0)
 
     # per-lane half-vector reconstruction for glossy transmit
+    # generalized half vector wo = refract(wi, h) <=> h = s*(n1 wi - n2 wo),
+    # s = sign(n2 - n1) (from wo = n1/n2 wi + f h with f = n1/n2 cos_r -
+    # cos_t: f < 0 iff n1 < n2).  The sign is part of invertibility — a
+    # forced flip-to-normal-side accepts phantom directions no refraction
+    # reaches (their cos_h comes out negative and lane_ok rejects them).
     h_l = n1[..., None] * wi[..., None, :] - n2[..., None] * wo_t[..., None, :]
-    h_l = normalize(h_l)
-    flip = (n1 < n2)[..., None]
-    h_l = jnp.where(flip, -h_l, h_l)
+    h_l = normalize(h_l) * jnp.sign(n2 - n1)[..., None]
     cos_h_l = jnp.sum(h_l * n[..., None, :], axis=-1)
     cos_r_l = jnp.sum(h_l * (-wi[..., None, :]), axis=-1)
     lane_ok = (cos_h_l > 0.0) & (cos_r_l > 0.0)
     cos_t2_l = 1.0 - nr * nr * (1.0 - cos_r_l * cos_r_l)
-    cos_t_l = jnp.where(cos_t2_l <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_l, 0.0)))
+    cos_t_l = jnp.where(cos_t2_l <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_l, 1e-12)))
     r_l = fresnel_dielectric(n1, n2, cos_r_l, cos_t_l)
     denom = n1 * cos_r_l - n2 * cos_t_l
     jac_t = n2 * n2 * cos_t_l / jnp.maximum(denom * denom, 1e-20)
@@ -303,7 +306,7 @@ def dielectric_eval_pdf(sp: ShadingPoint, wi, wo):
     cos_h_r = jnp.abs(dot(h_r, n))
     cos_r_r = jnp.abs(dot(h_r, wi))
     cos_t2_r = 1.0 - nr * nr * (1.0 - cos_r_r[..., None] ** 2)
-    cos_t_r = jnp.where(cos_t2_r <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_r, 0.0)))
+    cos_t_r = jnp.where(cos_t2_r <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_r, 1e-12)))
     big_r_r = fresnel_dielectric(n1, n2, cos_r_r[..., None], cos_t_r)
     d_r = ggx_ndf(cos_h_r, rr)
     g2_r = (ggx_smith_g1(cos_in, rr) * ggx_smith_g1(cos_out, rr))
@@ -315,14 +318,15 @@ def dielectric_eval_pdf(sp: ShadingPoint, wi, wo):
         4.0 * cos_r_r * jnp.abs(cos_out), 1e-12))[..., None]
 
     # transmission (per-lane half vectors, dielectric.c:168-190)
+    # see dielectric_sample: sign(n2-n1) orientation makes h the *unique*
+    # inverse of the refraction map; backfacing results are rejected below
     h_l = n1[..., None] * wi[..., None, :] - n2[..., None] * wo[..., None, :]
-    h_l = normalize(h_l)
-    h_l = jnp.where((n1 < n2)[..., None], -h_l, h_l)
+    h_l = normalize(h_l) * jnp.sign(n2 - n1)[..., None]
     cos_h_l = jnp.sum(h_l * n[..., None, :], axis=-1)
     cos_r_l = jnp.sum(h_l * (-wi[..., None, :]), axis=-1)
     lane_ok = (cos_h_l > 0.0) & (cos_r_l > 0.0)
     cos_t2_l = 1.0 - nr * nr * (1.0 - cos_r_l * cos_r_l)
-    cos_t_l = jnp.where(cos_t2_l <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_l, 0.0)))
+    cos_t_l = jnp.where(cos_t2_l <= 0.0, 0.0, jnp.sqrt(jnp.maximum(cos_t2_l, 1e-12)))
     big_r_l = fresnel_dielectric(n1, n2, cos_r_l, cos_t_l)
     denom = n1 * cos_r_l - n2 * cos_t_l
     jac = n2 * n2 * cos_t_l / jnp.maximum(denom * denom, 1e-20)

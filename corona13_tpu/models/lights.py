@@ -17,11 +17,15 @@ from ..utils.math import dot, normalize, cross
 
 
 def phong_edf(roughness, cos_gn):
-    """EDF lobe value for outgoing cosine against the geometric normal."""
+    """EDF lobe value for outgoing cosine against the geometric normal.
+
+    The power base is clamped away from 0: pow(0, k)'s derivative is
+    0^(k-1) = inf, which leaks NaN into gradients through masked lanes."""
     diffuse = roughness > 1.0 - 1e-4
     r2 = jnp.maximum(roughness * roughness, 1e-8)
     k = 2.0 / r2 - 2.0
-    glossy = jnp.power(jnp.maximum(cos_gn, 0.0), k) * (k + 2.0) / (2.0 * jnp.pi)
+    glossy = (jnp.power(jnp.maximum(cos_gn, 1e-6), k) * (k + 2.0)
+              / (2.0 * jnp.pi)) * (cos_gn > 0.0)
     return jnp.where(diffuse, 1.0 / jnp.pi, glossy)
 
 
@@ -33,8 +37,18 @@ def eval_vertex(em, roughness, gn, omega_in):
     (reference lights_eval_vertex path-tracing branch)."""
     cos_gn = -dot(gn, omega_in)
     edf = phong_edf(roughness, cos_gn)
-    ok = cos_gn > 0.0
-    return jnp.where(ok[..., None], em * edf[..., None], 0.0)
+    ok = (cos_gn > 0.0) & jnp.isfinite(edf)
+    edf = jnp.where(ok, edf, 0.0)  # finite factor: keeps grads of em clean
+    return em * edf[..., None]
+
+
+def sky_eval(scene, direction, lam):
+    """Environment radiance for escaped rays (reference shader_sky_eval,
+    src/shaders/sky_const.c:45-60: constant spectral radiance; the envmap
+    variant lives in models/envmap.py).  direction: [N, 3]; lam: [N, MF]."""
+    from ..spectral import rgb2spec
+    base = scene.sky_mul * rgb2spec.eval_coeff(scene.sky_coeff[None, None, :], lam)
+    return jnp.where(scene.sky_kind > 0, base, 0.0)
 
 
 def sample_nee(lights, geom, from_pos, r1, r2, r3):

@@ -26,7 +26,10 @@ import dataclasses
 
 import numpy as np
 
-LEAF_SIZE = 4
+# 8 prims/leaf: on the VPU the leaf test is dense vector math, so deeper
+# leaves beat deeper trees (fewer gather-bound walk steps); the reference's
+# SIMD width argument (qbvhmp.c 4-wide SSE) lands at 4 on CPU, 8+ here.
+LEAF_SIZE = 8
 SAH_BINS = 16
 
 
@@ -36,6 +39,7 @@ class FlatBVH:
     node_max: np.ndarray   # [N, 3] float32
     node_skip: np.ndarray  # [N] int32
     node_first: np.ndarray # [N] int32 (-1 = inner node)
+    node_right: np.ndarray # [N] int32 right child (-1 for leaves); left = i+1
     leaf_prims: np.ndarray # [M] int32, padded with -1
     n_prims: int
 
@@ -46,6 +50,7 @@ def _empty_bvh() -> FlatBVH:
         node_max=np.full((1, 3), -np.inf, np.float32),
         node_skip=np.array([1], np.int32),
         node_first=np.array([0], np.int32),
+        node_right=np.array([-1], np.int32),
         leaf_prims=np.full(LEAF_SIZE, -1, np.int32),
         n_prims=0,
     )
@@ -167,7 +172,8 @@ def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBVH:
           if leaf_prims else np.full(LEAF_SIZE, -1, np.int32))
     return FlatBVH(node_min=node_min, node_max=node_max,
                    node_skip=node_skip.astype(np.int32),
-                   node_first=node_first, leaf_prims=lp, n_prims=n)
+                   node_first=node_first, node_right=right_child,
+                   leaf_prims=lp, n_prims=n)
 
 
 def tri_bounds(tri_vtx: np.ndarray, tri_vtx_t1: np.ndarray | None = None):

@@ -15,6 +15,59 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def splat_pixel_aligned(fb, jx, jy, col, batch: int = 1,
+                        filter_kind: str = 'blackmanharris'):
+    """Dense stencil splat for the pixel-aligned wavefront.
+
+    The progressive renderer traces exactly one path per pixel per
+    progression (pixel_idx = arange), so every splat lands within a fixed
+    5x5 neighborhood of its own pixel — the filtered accumulation becomes
+    25 *shifted dense adds* instead of a 16-tap scatter (~18x faster on
+    TPU than the gather/scatter form; scatters serialize).
+
+    fb: [H, W, 3]; jx/jy: [batch*H*W] subpixel jitters in [0,1);
+    col: [batch*H*W, 3] colours (sample position = pixel + jitter).
+    """
+    h, w = fb.shape[0], fb.shape[1]
+    if filter_kind == 'box':
+        return fb + jnp.sum(col.reshape(batch, h, w, 3), axis=0)
+    offs = jnp.arange(-2, 3).astype(jnp.float32)           # tap offsets
+    # distance from tap center (pixel + o + 0.5) to the sample (pixel + j)
+    du = offs[None, :] + 0.5 - jx[:, None]                 # [N, 5]
+    dv = offs[None, :] + 0.5 - jy[:, None]
+    if filter_kind == 'bilin':
+        fu = jnp.maximum(1.0 - jnp.abs(du), 0.0)
+        fv = jnp.maximum(1.0 - jnp.abs(dv), 0.0)
+        f = fv[:, :, None] * fu[:, None, :]                # [N, 5, 5]
+    else:
+        r = jnp.sqrt(du[:, None, :] ** 2 + dv[:, :, None] ** 2)
+        f = bh_window(r + 1.5)
+    f = f.reshape(batch, h, w, 5, 5)
+    # per-source normalization over *in-bounds* taps (the reference
+    # normalizes each splat over the taps that land in the image)
+    ys = jnp.arange(h)[:, None, None, None]
+    xs = jnp.arange(w)[None, :, None, None]
+    oy = jnp.arange(-2, 3)[None, None, :, None]
+    ox = jnp.arange(-2, 3)[None, None, None, :]
+    inb = ((ys + oy >= 0) & (ys + oy < h) & (xs + ox >= 0) & (xs + ox < w))
+    f = f * inb[None]
+    wsum = jnp.sum(f, axis=(-1, -2), keepdims=True)
+    f = f / jnp.maximum(wsum, 1e-20)
+    contrib = (f[..., None] * col.reshape(batch, h, w, 1, 1, 3)).sum(axis=0)
+    # 25 shifted dense adds
+    acc = jnp.zeros((h, w, 3))
+    for iy in range(5):
+        for ix in range(5):
+            img = contrib[:, :, iy, ix, :]
+            sy = iy - 2
+            sx = ix - 2
+            acc = acc.at[max(sy, 0): h + min(sy, 0),
+                         max(sx, 0): w + min(sx, 0)].add(
+                img[max(-sy, 0): h - max(sy, 0),
+                    max(-sx, 0): w - max(sx, 0)])
+    return fb + acc
+
+
 def bh_window(n):
     """4-term Blackman-Harris window on [0, 3] (filter_bh_w)."""
     a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168

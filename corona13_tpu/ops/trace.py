@@ -6,6 +6,20 @@ the whole wavefront advances in lockstep through a stackless skip-link BVH
 (one node pointer per ray, masked updates — no per-lane stacks), and leaf
 primitives are tested LEAF_SIZE at a time with dense vectorized math.
 
+Performance structure (the analogue of Aila & Laine's while-while kernel,
+re-expressed for the VPU):
+
+  * node records are packed into one [n_nodes, 8] f32 row (min, max,
+    bitcast skip, bitcast first) so each traversal step issues a single
+    gather;
+  * the traversal is a two-level loop: an inner "walk" loop advances every
+    lane through inner nodes until it parks at a leaf (cheap: one gather +
+    slab test per step), and the outer loop runs the expensive leaf
+    intersection only once per parked leaf front;
+  * leaf primitive data is duplicated into leaf-slot-major packed arrays
+    ([slots, 9] for triangles) so candidate fetches are one contiguous
+    gather instead of three indirections.
+
 Primitive kinds: triangles (quads pre-split at load), spheres, and lines
 (truncated cones, used for hair/cylinders).  Each kind gets its own BVH so
 leaves are type-homogeneous and the intersection math stays branch-free.
@@ -15,6 +29,8 @@ the analogue of the reference's primid_t (corona_common.h:45-55).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,23 +42,58 @@ from . import bvh as bvh_mod
 
 INVALID_PRIM = jnp.int32(-1)
 MAX_DIST = jnp.float32(3.4e38)
+# prim-count threshold below which a dense all-candidates test replaces the
+# BVH traversal (whole-wavefront while_loops cost HBM round trips per step)
+BRUTE_FORCE_MAX = 64
+
+
+def _use_pallas(tri_bvh) -> bool:
+    """Route triangle traversal through the Pallas packet kernel on TPU
+    (ops/trace_pallas.py) when the BVH fits the VMEM budget."""
+    if os.environ.get('CORONA13_NO_PALLAS'):
+        return False
+    if jax.default_backend() != 'tpu':
+        return False
+    dd = jax.config.jax_default_device
+    if dd is not None and dd.platform != 'tpu':
+        return False
+    from . import trace_pallas
+    return trace_pallas.fits_vmem(tri_bvh)
 
 
 @struct.dataclass
 class DeviceBVH:
-    node_min: jnp.ndarray
-    node_max: jnp.ndarray
-    node_skip: jnp.ndarray
-    node_first: jnp.ndarray
-    leaf_prims: jnp.ndarray
+    nodes: jnp.ndarray       # [n_nodes, 8] f32: min3, max3, i32 skip, i32 first
+    pnodes: jnp.ndarray      # [n_nodes, 8] packet layout: min3, max3, pad2
+    plinks: jnp.ndarray      # [n_nodes, 2] i32: left (or -(first+1)), right
+    leaf_prims: jnp.ndarray  # [slots] i32 prim ids, padded with -1
+    leaf_data: jnp.ndarray   # [slots, D] packed per-prim intersection data
 
     @classmethod
-    def from_host(cls, b: bvh_mod.FlatBVH) -> 'DeviceBVH':
-        return cls(node_min=jnp.asarray(b.node_min),
-                   node_max=jnp.asarray(b.node_max),
-                   node_skip=jnp.asarray(b.node_skip),
-                   node_first=jnp.asarray(b.node_first),
-                   leaf_prims=jnp.asarray(b.leaf_prims))
+    def from_host(cls, b: bvh_mod.FlatBVH, leaf_data: np.ndarray) -> 'DeviceBVH':
+        packed = np.concatenate([
+            b.node_min, b.node_max,
+            b.node_skip[:, None].view(np.float32),
+            b.node_first[:, None].view(np.float32)], axis=1)
+        is_leaf = b.node_first >= 0
+        # leaves store -(leaf_index+1); leaf_index rows into the 2D
+        # [n_leaves, LEAF*D] packed arrays (Mosaic-friendly row loads)
+        left = np.where(is_leaf, -(b.node_first // bvh_mod.LEAF_SIZE + 1),
+                        np.arange(len(b.node_first), dtype=np.int32) + 1)
+        ppacked = np.concatenate([
+            b.node_min, b.node_max,
+            np.zeros((len(left), 2), np.float32)], axis=1)
+        plinks = np.stack([left.astype(np.int32),
+                           b.node_right.astype(np.int32)], axis=1)
+        return cls(nodes=jnp.asarray(packed),
+                   pnodes=jnp.asarray(ppacked),
+                   plinks=jnp.asarray(plinks),
+                   leaf_prims=jnp.asarray(b.leaf_prims),
+                   leaf_data=jnp.asarray(leaf_data))
+
+    @property
+    def n_nodes(self):
+        return self.nodes.shape[0]
 
 
 @struct.dataclass
@@ -81,6 +132,72 @@ class DeviceGeometry:
         return self.line_v0.shape[0]
 
 
+def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
+                         tri_quad_half=None, tri_shader=None,
+                         sph_c=None, sph_r=None, sph_shader=None,
+                         line_vtx=None, line_radii=None, line_shader=None,
+                         ) -> DeviceGeometry:
+    """Build BVHs + packed leaf data from host triangle/sphere/line soup.
+
+    tri_v: [T, 3, 3] vertices; tri_vn [T, 3, 3]; tri_uv [T, 3, 2];
+    line_vtx [L, 2, 3]; line_radii [L, 2].
+    """
+    f32 = np.float32
+    tri_v = np.zeros((0, 3, 3), f32) if tri_v is None else np.asarray(tri_v, f32)
+    T = len(tri_v)
+    tri_vn = np.zeros((T, 3, 3), f32) if tri_vn is None else np.asarray(tri_vn, f32)
+    tri_uv = np.zeros((T, 3, 2), f32) if tri_uv is None else np.asarray(tri_uv, f32)
+    tri_quad_half = (np.zeros((T,), np.int32) if tri_quad_half is None
+                     else np.asarray(tri_quad_half, np.int32))
+    tri_shader = (np.zeros((T,), np.int32) if tri_shader is None
+                  else np.asarray(tri_shader, np.int32))
+    sph_c = np.zeros((0, 3), f32) if sph_c is None else np.asarray(sph_c, f32)
+    sph_r = np.zeros((0,), f32) if sph_r is None else np.asarray(sph_r, f32)
+    S = len(sph_r)
+    sph_shader = (np.zeros((S,), np.int32) if sph_shader is None
+                  else np.asarray(sph_shader, np.int32))
+    line_vtx = np.zeros((0, 2, 3), f32) if line_vtx is None else np.asarray(line_vtx, f32)
+    line_radii = np.zeros((0, 2), f32) if line_radii is None else np.asarray(line_radii, f32)
+    L = len(line_radii)
+    line_shader = (np.zeros((L,), np.int32) if line_shader is None
+                   else np.asarray(line_shader, np.int32))
+
+    e1 = tri_v[:, 1] - tri_v[:, 0]
+    e2 = tri_v[:, 2] - tri_v[:, 0]
+
+    tb = bvh_mod.build_bvh(*bvh_mod.tri_bounds(tri_v)) if T else bvh_mod.build_bvh(
+        np.zeros((0, 3), f32), np.zeros((0, 3), f32))
+    sb = bvh_mod.build_bvh(*bvh_mod.sphere_bounds(sph_c, sph_r))
+    lb = bvh_mod.build_bvh(*bvh_mod.line_bounds(line_vtx, line_radii))
+
+    def pack(bvh, data, width):
+        """Leaf-slot-major packed data: row i = data of leaf_prims[i]."""
+        slots = np.maximum(bvh.leaf_prims, 0)
+        out = data[slots] if len(data) else np.zeros((len(slots), width), f32)
+        return out.astype(f32)
+
+    tri_data = np.concatenate([tri_v[:, 0], e1, e2], axis=1) if T else np.zeros((0, 9), f32)
+    sph_data = np.concatenate([sph_c, sph_r[:, None]], axis=1) if S else np.zeros((0, 4), f32)
+    line_data = np.concatenate([line_vtx[:, 0], line_vtx[:, 1], line_radii],
+                               axis=1) if L else np.zeros((0, 8), f32)
+
+    return DeviceGeometry(
+        tri_v0=jnp.asarray(tri_v[:, 0]), tri_e1=jnp.asarray(e1),
+        tri_e2=jnp.asarray(e2), tri_vn=jnp.asarray(tri_vn),
+        tri_uv=jnp.asarray(tri_uv), tri_shader=jnp.asarray(tri_shader),
+        tri_quad_half=jnp.asarray(tri_quad_half),
+        sph_c=jnp.asarray(sph_c), sph_r=jnp.asarray(sph_r),
+        sph_shader=jnp.asarray(sph_shader),
+        line_v0=jnp.asarray(line_vtx[:, 0]) if L else jnp.zeros((0, 3)),
+        line_v1=jnp.asarray(line_vtx[:, 1]) if L else jnp.zeros((0, 3)),
+        line_r0=jnp.asarray(line_radii[:, 0]) if L else jnp.zeros((0,)),
+        line_r1=jnp.asarray(line_radii[:, 1]) if L else jnp.zeros((0,)),
+        line_shader=jnp.asarray(line_shader),
+        tri_bvh=DeviceBVH.from_host(tb, pack(tb, tri_data, 9)),
+        sph_bvh=DeviceBVH.from_host(sb, pack(sb, sph_data, 4)),
+        line_bvh=DeviceBVH.from_host(lb, pack(lb, line_data, 8)))
+
+
 @struct.dataclass
 class Hit:
     """Wavefront hit record — columnar hit_t (corona_common.h:129)."""
@@ -94,14 +211,15 @@ class Hit:
         return self.prim >= 0
 
 
-def ray_tri_intersect(v0, e1, e2, org, direction):
-    """Batched Moeller-Trumbore over a trailing candidate axis.
+def ray_tri_intersect_packed(rows, org, direction):
+    """Moeller-Trumbore over packed candidate rows [N, K, 9] = (v0, e1, e2).
 
-    org/direction: [N, 3]; v0/e1/e2: [N, K, 3] gathered candidates.
     Returns (t, u, v, hit_mask) each [N, K].  Barycentrics follow the
     reference's convention (triangle.h:262-300): hit->u weights vertex 2,
-    hit->v weights vertex 1.
-    """
+    hit->v weights vertex 1."""
+    v0 = rows[..., 0:3]
+    e1 = rows[..., 3:6]
+    e2 = rows[..., 6:9]
     d = direction[..., None, :]
     o = org[..., None, :]
     pvec = jnp.cross(d, e2)
@@ -114,6 +232,12 @@ def ray_tri_intersect(v0, e1, e2, org, direction):
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     ok = (bv >= 0.0) & (bv <= 1.0) & (bu >= 0.0) & (bu + bv <= 1.0) & (t > 0.0)
     return t, bu, bv, ok
+
+
+def ray_tri_intersect(v0, e1, e2, org, direction):
+    """Compatibility wrapper over separate v0/e1/e2 candidate arrays."""
+    return ray_tri_intersect_packed(
+        jnp.concatenate([v0, e1, e2], axis=-1), org, direction)
 
 
 def ray_sphere_intersect(c, r, org, direction):
@@ -170,62 +294,99 @@ def ray_cone_intersect(v0, v1, r0, r1, org, direction):
     return t, y, ok
 
 
-def _aabb_hit(nmin, nmax, org, inv_dir, t_max):
-    """Slab test; nmin/nmax [N,3]."""
-    t0 = (nmin - org) * inv_dir
-    t1 = (nmax - org) * inv_dir
-    tn = jnp.minimum(t0, t1)
-    tf = jnp.maximum(t0, t1)
-    t_near = jnp.maximum(jnp.max(tn, axis=-1), 0.0)
-    t_far = jnp.minimum(jnp.min(tf, axis=-1), t_max)
-    return t_near <= t_far
-
-
-def _traverse(bvh: DeviceBVH, test_leaf, org, direction, t_init, prim_init,
+def _traverse(bvh: DeviceBVH, test_leaf, org, inv_dir, t_init, prim_init,
               u_init, v_init, any_hit=False):
-    """Lockstep stackless traversal of one BVH for the whole wavefront.
+    """While-while lockstep traversal of one BVH for the whole wavefront.
 
     test_leaf(first, t_best, prim_best, u, v) -> updated (t, prim, u, v):
     intersects the LEAF_SIZE padded candidates at leaf offset ``first``.
+
+    Inner loop: every lane walks inner nodes (1 packed gather + slab test
+    per step) until it parks at a hit leaf or terminates.  Outer loop runs
+    the leaf primitive test once per parked front.
     """
-    n_nodes = bvh.node_skip.shape[0]
-    inv_dir = 1.0 / jnp.where(jnp.abs(direction) < 1e-20,
-                              jnp.where(direction < 0, -1e-20, 1e-20), direction)
-    node0 = jnp.zeros(org.shape[:-1], jnp.int32)
+    n_nodes = bvh.n_nodes
+    # derive from a traversal input so the carry carries the same varying
+    # manual axes as the body outputs under shard_map (see shard_map VMA)
+    node0 = (prim_init & 0)
 
-    def cond(state):
-        node, t, prim, u, v = state
-        active = node < n_nodes
-        if any_hit:
-            active = active & (prim < 0)
-        return jnp.any(active)
+    def fetch(node):
+        row = bvh.nodes[jnp.minimum(node, n_nodes - 1)]
+        nmin = row[..., 0:3]
+        nmax = row[..., 3:6]
+        skip = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
+        first = jax.lax.bitcast_convert_type(row[..., 7], jnp.int32)
+        return nmin, nmax, skip, first
 
-    def body(state):
-        node, t, prim, u, v = state
-        nclamp = jnp.minimum(node, n_nodes - 1)
-        active = node < n_nodes
+    def slab(nmin, nmax, t_max):
+        t0 = (nmin - org) * inv_dir
+        t1 = (nmax - org) * inv_dir
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), t_max)
+        return tn <= tf
+
+    def active_of(node, prim):
+        a = node < n_nodes
         if any_hit:
-            active = active & (prim < 0)
-        nmin = bvh.node_min[nclamp]
-        nmax = bvh.node_max[nclamp]
-        first = bvh.node_first[nclamp]
-        skip = bvh.node_skip[nclamp]
-        box_ok = _aabb_hit(nmin, nmax, org, inv_dir, t) & active
+            a = a & (prim < 0)
+        return a
+
+    def walk_cond(state):
+        node, parked, t, prim = state
+        return jnp.any(active_of(node, prim) & ~parked)
+
+    def walk_body(state):
+        node, parked, t, prim = state
+        nmin, nmax, skip, first = fetch(node)
+        active = active_of(node, prim) & ~parked
+        box_ok = slab(nmin, nmax, t) & active
         is_leaf = first >= 0
-        do_leaf = box_ok & is_leaf
-        t2, prim2, u2, v2 = test_leaf(first, t, prim, u, v)
-        t = jnp.where(do_leaf, t2, t)
-        prim = jnp.where(do_leaf, prim2, prim)
-        u = jnp.where(do_leaf, u2, u)
-        v = jnp.where(do_leaf, v2, v)
-        descend = box_ok & ~is_leaf
-        nxt = jnp.where(descend, nclamp + 1, skip)
-        node = jnp.where(active, nxt, node)
+        park_now = box_ok & is_leaf
+        nxt = jnp.where(box_ok & ~is_leaf, node + 1, skip)
+        node = jnp.where(active & ~park_now, nxt, node)
+        parked = parked | park_now
+        return node, parked, t, prim
+
+    def outer_cond(state):
+        node, t, prim, u, v = state
+        return jnp.any(active_of(node, prim))
+
+    def outer_body(state):
+        node, t, prim, u, v = state
+        parked0 = node < 0  # all-False, varying like node
+        node, parked, _, _ = jax.lax.while_loop(
+            walk_cond, walk_body, (node, parked0, t, prim))
+        # leaf test for parked lanes
+        _, _, skip, first = fetch(node)
+        t2, prim2, u2, v2 = test_leaf(jnp.maximum(first, 0), t, prim, u, v)
+        t = jnp.where(parked, t2, t)
+        prim = jnp.where(parked, prim2, prim)
+        u = jnp.where(parked, u2, u)
+        v = jnp.where(parked, v2, v)
+        node = jnp.where(parked, skip, node)
         return node, t, prim, u, v
 
     _, t, prim, u, v = jax.lax.while_loop(
-        cond, body, (node0, t_init, prim_init, u_init, v_init))
+        outer_cond, outer_body, (node0, t_init, prim_init, u_init, v_init))
     return t, prim, u, v
+
+
+def _inv_dir(direction):
+    return 1.0 / jnp.where(jnp.abs(direction) < 1e-20,
+                           jnp.where(direction < 0, -1e-20, 1e-20), direction)
+
+
+def _closest_select(tt, ok, t, prim, u, v, cand, uu=None, vv=None):
+    """Reduce [N, K] candidate hits into the per-lane best."""
+    tt = jnp.where(ok, tt, MAX_DIST)
+    best = jnp.argmin(tt, axis=-1)
+    sel = lambda a: jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
+    tbest = sel(tt)
+    win = tbest < t
+    return (jnp.where(win, tbest, t),
+            jnp.where(win, sel(cand), prim),
+            jnp.where(win, sel(uu), u) if uu is not None else u,
+            jnp.where(win, sel(vv), v) if vv is not None else v)
 
 
 def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
@@ -235,73 +396,95 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
     ``ignore_prim`` reproduces the reference's primid self-intersection
     exclusion (ray->ignore, prims.c:380); callers should also offset the
     origin with utils.math.ray_offset.
+
+    Differentiability: path structure (hit distance/prim/uv) is treated as
+    *detached* discrete structure — gradients w.r.t. scene/shading/camera
+    parameters flow through the shading math around the hits, not through
+    the traversal (detached-sampling estimator; visibility jumps are
+    non-differentiable anyway).  This also lets the traversal use
+    ``lax.while_loop``, which has no reverse-mode rule.
     """
+    org = jax.lax.stop_gradient(org)
+    direction = jax.lax.stop_gradient(direction)
+    if t_max is not None:
+        t_max = jax.lax.stop_gradient(t_max)
     n = org.shape[0]
-    t = jnp.full((n,), MAX_DIST) if t_max is None else jnp.broadcast_to(t_max, (n,))
-    prim = jnp.full((n,), INVALID_PRIM)
-    u = jnp.zeros((n,))
-    v = jnp.zeros((n,))
-    ig = ignore_prim if ignore_prim is not None else jnp.full((n,), INVALID_PRIM)
-    t_off = 0
+    zero = org[..., 0] * 0.0  # varying-aware zero (shard_map VMA)
+    t = zero + MAX_DIST if t_max is None else jnp.broadcast_to(t_max, (n,)) + zero
+    prim = zero.astype(jnp.int32) + INVALID_PRIM
+    u = zero
+    v = zero
+    ig = ignore_prim if ignore_prim is not None else prim
+    inv_dir = _inv_dir(direction)
+    ls = jnp.arange(bvh_mod.LEAF_SIZE)
 
     if geom.n_tris:
-        def leaf_tri(first, t, prim, u, v):
-            cand = geom.tri_bvh.leaf_prims[first[..., None] + jnp.arange(bvh_mod.LEAF_SIZE)]
-            csafe = jnp.maximum(cand, 0)
-            tt, bu, bv, ok = ray_tri_intersect(
-                geom.tri_v0[csafe], geom.tri_e1[csafe], geom.tri_e2[csafe],
-                org, direction)
-            ok &= (cand >= 0) & (tt <= t[..., None]) & (cand != ig[..., None])
-            tt = jnp.where(ok, tt, MAX_DIST)
-            best = jnp.argmin(tt, axis=-1)
-            tbest = jnp.take_along_axis(tt, best[..., None], axis=-1)[..., 0]
-            win = tbest < t
-            sel = lambda a: jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
-            return (jnp.where(win, tbest, t),
-                    jnp.where(win, sel(cand), prim),
-                    jnp.where(win, sel(bu), u),
-                    jnp.where(win, sel(bv), v))
-        t, prim, u, v = _traverse(geom.tri_bvh, leaf_tri, org, direction, t, prim, u, v)
-        t_off = geom.n_tris
+        if _use_pallas(geom.tri_bvh):
+            from . import trace_pallas
+            t, prim, u, v = trace_pallas.traverse_tris(
+                geom.tri_bvh.pnodes, geom.tri_bvh.plinks,
+                geom.tri_bvh.leaf_data, geom.tri_bvh.leaf_prims,
+                org, direction, t, ig)
+        else:
+            def leaf_tri(first, t, prim, u, v):
+                slot = first[..., None] + ls
+                cand = geom.tri_bvh.leaf_prims[slot]
+                rows = geom.tri_bvh.leaf_data[slot]
+                tt, bu, bv, ok = ray_tri_intersect_packed(rows, org, direction)
+                ok &= (cand >= 0) & (tt <= t[..., None]) & (cand != ig[..., None])
+                return _closest_select(tt, ok, t, prim, u, v, cand, bu, bv)
+            t, prim, u, v = _traverse(geom.tri_bvh, leaf_tri, org, inv_dir,
+                                      t, prim, u, v)
 
     if geom.n_spheres:
-        s_off = t_off
-        def leaf_sph(first, t, prim, u, v):
-            cand = geom.sph_bvh.leaf_prims[first[..., None] + jnp.arange(bvh_mod.LEAF_SIZE)]
-            csafe = jnp.maximum(cand, 0)
+        s_off = geom.n_tris
+        if geom.n_spheres <= BRUTE_FORCE_MAX:
+            # tiny prim set: one dense candidate test beats a lockstep
+            # traversal loop (no gathers, no while_loop HBM round trips)
+            cand = jnp.arange(geom.n_spheres, dtype=jnp.int32)
             gid = cand + s_off
-            tt, ok = ray_sphere_intersect(geom.sph_c[csafe], geom.sph_r[csafe],
+            tt, ok = ray_sphere_intersect(geom.sph_c[None], geom.sph_r[None],
                                           org, direction)
-            ok &= (cand >= 0) & (tt <= t[..., None]) & (gid != ig[..., None])
-            tt = jnp.where(ok, tt, MAX_DIST)
-            best = jnp.argmin(tt, axis=-1)
-            tbest = jnp.take_along_axis(tt, best[..., None], axis=-1)[..., 0]
-            win = tbest < t
-            bid = jnp.take_along_axis(gid, best[..., None], axis=-1)[..., 0]
-            return (jnp.where(win, tbest, t),
-                    jnp.where(win, bid, prim), u, v)
-        t, prim, u, v = _traverse(geom.sph_bvh, leaf_sph, org, direction, t, prim, u, v)
+            ok &= (tt <= t[..., None]) & (gid[None] != ig[..., None])
+            t, prim, u, v = _closest_select(tt, ok, t, prim, u, v,
+                                            jnp.broadcast_to(gid, tt.shape))
+        else:
+            def leaf_sph(first, t, prim, u, v):
+                slot = first[..., None] + ls
+                cand = geom.sph_bvh.leaf_prims[slot]
+                rows = geom.sph_bvh.leaf_data[slot]
+                gid = cand + s_off
+                tt, ok = ray_sphere_intersect(rows[..., 0:3], rows[..., 3],
+                                              org, direction)
+                ok &= (cand >= 0) & (tt <= t[..., None]) & (gid != ig[..., None])
+                return _closest_select(tt, ok, t, prim, u, v, gid)
+            t, prim, u, v = _traverse(geom.sph_bvh, leaf_sph, org, inv_dir,
+                                      t, prim, u, v)
 
     if geom.n_lines:
         l_off = geom.n_tris + geom.n_spheres
-        def leaf_line(first, t, prim, u, v):
-            cand = geom.line_bvh.leaf_prims[first[..., None] + jnp.arange(bvh_mod.LEAF_SIZE)]
-            csafe = jnp.maximum(cand, 0)
+        if geom.n_lines <= BRUTE_FORCE_MAX:
+            cand = jnp.arange(geom.n_lines, dtype=jnp.int32)
             gid = cand + l_off
             tt, y, ok = ray_cone_intersect(
-                geom.line_v0[csafe], geom.line_v1[csafe],
-                geom.line_r0[csafe], geom.line_r1[csafe], org, direction)
-            ok &= (cand >= 0) & (tt <= t[..., None]) & (gid != ig[..., None])
-            tt = jnp.where(ok, tt, MAX_DIST)
-            best = jnp.argmin(tt, axis=-1)
-            tbest = jnp.take_along_axis(tt, best[..., None], axis=-1)[..., 0]
-            win = tbest < t
-            bid = jnp.take_along_axis(gid, best[..., None], axis=-1)[..., 0]
-            ybest = jnp.take_along_axis(y, best[..., None], axis=-1)[..., 0]
-            return (jnp.where(win, tbest, t),
-                    jnp.where(win, bid, prim),
-                    jnp.where(win, ybest, u), v)
-        t, prim, u, v = _traverse(geom.line_bvh, leaf_line, org, direction, t, prim, u, v)
+                geom.line_v0[None], geom.line_v1[None],
+                geom.line_r0[None], geom.line_r1[None], org, direction)
+            ok &= (tt <= t[..., None]) & (gid[None] != ig[..., None])
+            t, prim, u, v = _closest_select(tt, ok, t, prim, u, v,
+                                            jnp.broadcast_to(gid, tt.shape), y)
+        else:
+            def leaf_line(first, t, prim, u, v):
+                slot = first[..., None] + ls
+                cand = geom.line_bvh.leaf_prims[slot]
+                rows = geom.line_bvh.leaf_data[slot]
+                gid = cand + l_off
+                tt, y, ok = ray_cone_intersect(
+                    rows[..., 0:3], rows[..., 3:6], rows[..., 6], rows[..., 7],
+                    org, direction)
+                ok &= (cand >= 0) & (tt <= t[..., None]) & (gid != ig[..., None])
+                return _closest_select(tt, ok, t, prim, u, v, gid, y)
+            t, prim, u, v = _traverse(geom.line_bvh, leaf_line, org, inv_dir,
+                                      t, prim, u, v)
 
     return Hit(t=t, prim=prim, u=u, v=v)
 
@@ -310,61 +493,93 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
              ignore_prim2=None) -> jnp.ndarray:
     """Shadow-ray test: True where the segment [0, t_max] is blocked.
     Both endpoints' prims can be excluded (reference path_visible,
-    src/pathspace.c:311)."""
+    src/pathspace.c:311).  Detached like :func:`intersect`; traversal
+    early-outs per lane on the first blocker (any-hit)."""
+    org = jax.lax.stop_gradient(org)
+    direction = jax.lax.stop_gradient(direction)
+    t_max = jax.lax.stop_gradient(t_max)
     n = org.shape[0]
-    ig = ignore_prim if ignore_prim is not None else jnp.full((n,), INVALID_PRIM)
-    ig2 = ignore_prim2 if ignore_prim2 is not None else jnp.full((n,), INVALID_PRIM)
-    prim = jnp.full((n,), INVALID_PRIM)
-    u = jnp.zeros((n,))
-    v = jnp.zeros((n,))
-    t = jnp.asarray(t_max)
+    zero = org[..., 0] * 0.0
+    prim = zero.astype(jnp.int32) + INVALID_PRIM
+    ig = ignore_prim if ignore_prim is not None else prim
+    ig2 = ignore_prim2 if ignore_prim2 is not None else prim
+    u = zero
+    v = zero
+    t = jnp.broadcast_to(jnp.asarray(t_max), (n,)) + zero
+    inv_dir = _inv_dir(direction)
+    ls = jnp.arange(bvh_mod.LEAF_SIZE)
+
+    def any_hit_reduce(tt, ok, t, prim, u, v):
+        hit_now = jnp.any(ok, axis=-1)
+        return t, jnp.where(prim >= 0, prim, jnp.where(hit_now, 0, -1)), u, v
 
     if geom.n_tris:
-        def leaf_tri(first, t, prim, u, v):
-            cand = geom.tri_bvh.leaf_prims[first[..., None] + jnp.arange(bvh_mod.LEAF_SIZE)]
-            csafe = jnp.maximum(cand, 0)
-            tt, bu, bv, ok = ray_tri_intersect(
-                geom.tri_v0[csafe], geom.tri_e1[csafe], geom.tri_e2[csafe],
-                org, direction)
-            ok &= (cand >= 0) & (tt < t[..., None]) & \
-                (cand != ig[..., None]) & (cand != ig2[..., None])
-            any_blocked = jnp.any(ok, axis=-1)
-            hit_id = jnp.where(any_blocked, 0, -1)
-            return t, jnp.where(prim >= 0, prim, hit_id), u, v
-        _, prim, _, _ = _traverse(geom.tri_bvh, leaf_tri, org, direction,
-                                  t, prim, u, v, any_hit=True)
+        if _use_pallas(geom.tri_bvh):
+            from . import trace_pallas
+            _, prim, _, _ = trace_pallas.traverse_tris(
+                geom.tri_bvh.pnodes, geom.tri_bvh.plinks,
+                geom.tri_bvh.leaf_data, geom.tri_bvh.leaf_prims,
+                org, direction, t, ig, ig2, any_hit=True)
+        else:
+            def leaf_tri(first, t, prim, u, v):
+                slot = first[..., None] + ls
+                cand = geom.tri_bvh.leaf_prims[slot]
+                rows = geom.tri_bvh.leaf_data[slot]
+                tt, bu, bv, ok = ray_tri_intersect_packed(rows, org, direction)
+                ok &= (cand >= 0) & (tt < t[..., None]) & \
+                    (cand != ig[..., None]) & (cand != ig2[..., None])
+                return any_hit_reduce(tt, ok, t, prim, u, v)
+            _, prim, _, _ = _traverse(geom.tri_bvh, leaf_tri, org, inv_dir,
+                                      t, prim, u, v, any_hit=True)
 
     if geom.n_spheres:
         s_off = geom.n_tris
-        def leaf_sph(first, t, prim, u, v):
-            cand = geom.sph_bvh.leaf_prims[first[..., None] + jnp.arange(bvh_mod.LEAF_SIZE)]
-            csafe = jnp.maximum(cand, 0)
-            gid = cand + s_off
-            tt, ok = ray_sphere_intersect(geom.sph_c[csafe], geom.sph_r[csafe],
+        if geom.n_spheres <= BRUTE_FORCE_MAX:
+            gid = jnp.arange(geom.n_spheres, dtype=jnp.int32) + s_off
+            tt, ok = ray_sphere_intersect(geom.sph_c[None], geom.sph_r[None],
                                           org, direction)
-            ok &= (cand >= 0) & (tt < t[..., None]) & \
-                (gid != ig[..., None]) & (gid != ig2[..., None])
-            any_blocked = jnp.any(ok, axis=-1)
-            hit_id = jnp.where(any_blocked, 0, -1)
-            return t, jnp.where(prim >= 0, prim, hit_id), u, v
-        _, prim, _, _ = _traverse(geom.sph_bvh, leaf_sph, org, direction,
-                                  t, prim, u, v, any_hit=True)
+            ok &= (tt < t[..., None]) & (gid[None] != ig[..., None]) & \
+                (gid[None] != ig2[..., None])
+            prim = jnp.where(prim >= 0, prim,
+                             jnp.where(jnp.any(ok, axis=-1), 0, -1))
+        else:
+            def leaf_sph(first, t, prim, u, v):
+                slot = first[..., None] + ls
+                cand = geom.sph_bvh.leaf_prims[slot]
+                rows = geom.sph_bvh.leaf_data[slot]
+                gid = cand + s_off
+                tt, ok = ray_sphere_intersect(rows[..., 0:3], rows[..., 3],
+                                              org, direction)
+                ok &= (cand >= 0) & (tt < t[..., None]) & \
+                    (gid != ig[..., None]) & (gid != ig2[..., None])
+                return any_hit_reduce(tt, ok, t, prim, u, v)
+            _, prim, _, _ = _traverse(geom.sph_bvh, leaf_sph, org, inv_dir,
+                                      t, prim, u, v, any_hit=True)
 
     if geom.n_lines:
         l_off = geom.n_tris + geom.n_spheres
-        def leaf_line(first, t, prim, u, v):
-            cand = geom.line_bvh.leaf_prims[first[..., None] + jnp.arange(bvh_mod.LEAF_SIZE)]
-            csafe = jnp.maximum(cand, 0)
-            gid = cand + l_off
+        if geom.n_lines <= BRUTE_FORCE_MAX:
+            gid = jnp.arange(geom.n_lines, dtype=jnp.int32) + l_off
             tt, y, ok = ray_cone_intersect(
-                geom.line_v0[csafe], geom.line_v1[csafe],
-                geom.line_r0[csafe], geom.line_r1[csafe], org, direction)
-            ok &= (cand >= 0) & (tt < t[..., None]) & \
-                (gid != ig[..., None]) & (gid != ig2[..., None])
-            any_blocked = jnp.any(ok, axis=-1)
-            hit_id = jnp.where(any_blocked, 0, -1)
-            return t, jnp.where(prim >= 0, prim, hit_id), u, v
-        _, prim, _, _ = _traverse(geom.line_bvh, leaf_line, org, direction,
-                                  t, prim, u, v, any_hit=True)
+                geom.line_v0[None], geom.line_v1[None],
+                geom.line_r0[None], geom.line_r1[None], org, direction)
+            ok &= (tt < t[..., None]) & (gid[None] != ig[..., None]) & \
+                (gid[None] != ig2[..., None])
+            prim = jnp.where(prim >= 0, prim,
+                             jnp.where(jnp.any(ok, axis=-1), 0, -1))
+        else:
+            def leaf_line(first, t, prim, u, v):
+                slot = first[..., None] + ls
+                cand = geom.line_bvh.leaf_prims[slot]
+                rows = geom.line_bvh.leaf_data[slot]
+                gid = cand + l_off
+                tt, y, ok = ray_cone_intersect(
+                    rows[..., 0:3], rows[..., 3:6], rows[..., 6], rows[..., 7],
+                    org, direction)
+                ok &= (cand >= 0) & (tt < t[..., None]) & \
+                    (gid != ig[..., None]) & (gid != ig2[..., None])
+                return any_hit_reduce(tt, ok, t, prim, u, v)
+            _, prim, _, _ = _traverse(geom.line_bvh, leaf_line, org, inv_dir,
+                                      t, prim, u, v, any_hit=True)
 
     return prim >= 0

@@ -54,21 +54,27 @@ class RenderResult:
                 f.write(f'{k:9s}: {v}\n')
 
 
-def render(scene, cfg: pt_mod.PTConfig, spp: int = 16,
+def render(scene, cfg: pt_mod.PTConfig, spp: int = 16, batch: int = 0,
            progress: bool = False) -> RenderResult:
-    """Render ``spp`` progressions (1 path/pixel each)."""
-    step = jax.jit(pt_mod.render_sample, static_argnames=()).lower(
-        scene, cfg, jnp.uint32(0)).compile() if False else jax.jit(
-        lambda sc, s: pt_mod.render_sample(sc, cfg, s))
+    """Render ``spp`` progressions (1 path/pixel each).
+
+    ``batch`` progressions run per device launch (0 = auto: whole spp in
+    one launch for small images, else 1)."""
+    if batch <= 0:
+        batch = spp if cfg.width * cfg.height * spp <= (1 << 21) else 1
+    batch = min(batch, spp)
+    step = jax.jit(lambda sc, s: pt_mod.render_sample(sc, cfg, s, batch=batch))
     fb = jnp.zeros((cfg.height, cfg.width, 3))
     t0 = _time.time()
-    for s in range(spp):
-        fb = fb + step(scene, jnp.uint32(s))
-        if progress and (s + 1) % 8 == 0:
+    done = 0
+    while done < spp:
+        fb = fb + step(scene, jnp.uint32(done))
+        done += batch
+        if progress:
             fb.block_until_ready()
             dt = _time.time() - t0
-            print(f'  [{s + 1}/{spp}] {dt / (s + 1):.3f}s/frame')
+            print(f'  [{done}/{spp}] {dt / done:.3f}s/frame')
     fb.block_until_ready()
     seconds = _time.time() - t0
-    return RenderResult(fb=np.asarray(fb), spp=spp,
+    return RenderResult(fb=np.asarray(fb), spp=done,
                         iso=float(scene.camera.iso), seconds=seconds)

@@ -33,7 +33,7 @@ from ..models import lights as lights_mod
 from ..models import shading as shading_mod
 from ..models import bsdf as bsdf_mod
 from ..ops import rng
-from ..ops.trace import intersect, occluded, INVALID_PRIM
+from ..ops.trace import intersect, occluded, INVALID_PRIM, MAX_DIST
 from ..spectral import cie
 from ..utils.math import dot, normalize, ray_offset
 
@@ -58,7 +58,10 @@ def _hero_mis(pdf_prod_prev, our_pdf, other_pdf):
     our = our_pdf * pdf_prod_prev
     other = other_pdf * pdf_prod_prev
     denom = jnp.sum(our + other, axis=-1, keepdims=True)
-    return jnp.where(denom > 0.0, our / denom, 0.0)
+    # safe divide: 0/0 in the untaken where-branch leaks NaN through the
+    # backward pass (d(where)/dx picks up NaN * 0)
+    denom = jnp.where(denom > 0.0, denom, 1.0)
+    return our / denom
 
 
 def _lambert(n, w):
@@ -69,6 +72,12 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
     """Trace one path per entry of pixel_idx; returns spectral radiance
     accumulated per path [N, MF], the wavelengths [N, MF], and the image
     positions [N] (pix_i, pix_j)."""
+    accum, lam, pi, pj, _ = _sample_paths_full(scene, cfg, sample_idx,
+                                               pixel_idx)
+    return accum, lam, pi, pj
+
+
+def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
     n = pixel_idx.shape[0]
     mf = cfg.mf
     ps = cfg.pointsampler
@@ -87,17 +96,24 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
         scene.camera, cfg.width, cfg.height, pix_i, pix_j,
         rnd(rng.Dim.APERTURE_X), rnd(rng.Dim.APERTURE_Y), time)
 
+    # scan-carry inits derive from varying inputs (pixel AND sample index)
+    # so the carry matches the body outputs' varying manual axes under
+    # shard_map
+    izero = ((pixel_idx + jnp.asarray(sample_idx, jnp.uint32))
+             & jnp.uint32(0)).astype(jnp.int32)
+    thr0 = jnp.broadcast_to(cam_thr[..., None], (n, mf))
     state = dict(
         org=org, dir=direction,
-        thr=jnp.broadcast_to(cam_thr[..., None], (n, mf)),
+        thr=thr0,
         pdf_proj=jnp.broadcast_to(cam_pdf_proj[..., None], (n, mf)),
-        pdf_prod=jnp.ones((n, mf)),
+        pdf_prod=jnp.ones_like(thr0) + thr0 * 0.0,
         prev_n=jnp.broadcast_to(direction, (n, 3)),  # placeholder; lambert=cos4 handled via pdf_proj
-        prev_prim=jnp.full((n,), INVALID_PRIM),
-        prev_connectable=jnp.zeros((n,), bool),  # camera vertex: no NEE to it
-        alive=jnp.ones((n,), bool),
-        accum=jnp.zeros((n, mf)),
-        length=jnp.ones((n,), jnp.int32),  # vertices so far (camera = 1)
+        prev_prim=izero + INVALID_PRIM,
+        prev_connectable=izero > 0,  # camera vertex: no NEE to it
+        alive=izero == 0,
+        accum=thr0 * 0.0,
+        length=izero + 1,             # vertices so far (camera = 1)
+        nrays=izero,                  # traced rays (extend + shadow)
     )
     # camera lambert: the reference uses hit.n of the aperture vertex; our
     # pdf_proj already excludes it — prev_n only feeds G, so store cam n:
@@ -108,15 +124,38 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
         alive = state['alive']
         org = state['org']
         d = state['dir']
-        hit = intersect(scene.geom, org, d, ignore_prim=state['prev_prim'])
+        # dead lanes trace with t_max = 0: the slab test fails at the root
+        # and they fall straight through the traversal
+        hit = intersect(scene.geom, org, d, ignore_prim=state['prev_prim'],
+                        t_max=jnp.where(alive, MAX_DIST, 0.0))
         valid = hit.valid & alive
-        x = org + hit.t[..., None] * d
+        nrays = state['nrays'] + alive.astype(jnp.int32)
+        # escaped rays park at a finite 1 km like the reference's envmap
+        # vertices (pathspace.c:856-873, shader.c:62-64) — an infinite x
+        # would breed NaNs that poison gradients through masked products
+        t_park = jnp.where(hit.valid, hit.t, 1e4)
+        x = org + t_park[..., None] * d
         sp = shading_mod.prepare(scene, hit, x, d, lam)
 
         # geometric term of this segment (path_G, pathspace.c:59-69)
         g = (_lambert(state['prev_n'], d) * _lambert(sp.n, d)
              / jnp.maximum(hit.t * hit.t, 1e-20))
         pdf_area = state['pdf_proj'] * g[..., None]  # v[v].pdf in area measure
+        # overflow guard: a non-finite pdf on one lane would poison the
+        # hero-MIS weights (and leak NaN into gradients via 0-cotangent
+        # products even on masked lanes)
+        pdf_area = jnp.where(jnp.isfinite(pdf_area), pdf_area, 0.0)
+
+        # --- environment hit: escaped rays collect sky radiance with
+        # hero-MIS only (no envmap NEE yet; nee_pdf = 0 like nee.h:21-26
+        # for non-connectable env setups)
+        missed = alive & ~hit.valid
+        sky = lights_mod.sky_eval(scene, d, lam)
+        w_sky = _hero_mis(state['pdf_prod'], state['pdf_proj'],
+                          jnp.zeros_like(state['pdf_proj']))
+        w_sky = jax.lax.stop_gradient(
+            jnp.where(jnp.isfinite(w_sky), w_sky, 0.0))
+        accum_sky = jnp.where(missed[..., None], state['thr'] * sky * w_sky, 0.0)
 
         # --- emitter hit (ptdl.c:117-125 / pt.c:44-49)
         le = lights_mod.eval_vertex(sp.em, sp.roughness, sp.gn, d)
@@ -128,13 +167,15 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
             w = _hero_mis(state['pdf_prod'], pdf_area, nee_w[..., None])
         else:
             w = _hero_mis(state['pdf_prod'], pdf_area, jnp.zeros_like(pdf_area))
+        w = jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
         contrib = state['thr'] * le * w
-        accum = state['accum'] + jnp.where(emits[..., None], contrib, 0.0)
+        accum = state['accum'] + jnp.where(emits[..., None], contrib, 0.0) \
+            + accum_sky
 
         # update hero pdf product with this vertex (normalized, see module doc)
         pdf_prod = state['pdf_prod'] * pdf_area
         pp_norm = jnp.max(pdf_prod, axis=-1, keepdims=True)
-        pdf_prod = jnp.where(pp_norm > 0.0, pdf_prod / pp_norm, pdf_prod)
+        pdf_prod = pdf_prod / jnp.where(pp_norm > 0.0, pp_norm, 1.0)
 
         # --- next event estimation (nee.h:87-243 surface branch)
         if cfg.use_nee and scene.lights.n_lights > 0:
@@ -157,19 +198,31 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
             f, pdf_bsdf_proj = bsdf_mod.bsdf_eval_pdf(sp, d, wo)
             g_nee = (_lambert(sp.n, wo) * jnp.abs(cos_l)
                      / jnp.maximum(dist * dist, 1e-20))
+            # the NEE vertex extends the path by one: respect max_verts
+            # like the reference (nee.h checks PATHSPACE_MAX_VERTS) so a
+            # ptdl render integrates the same path space as pt
             can = valid & (cos_l > 0.0) & jnp.any(f > 0.0, axis=-1) & \
-                (ls['pdf_area'] > 0.0)
+                (ls['pdf_area'] > 0.0) & (depth <= cfg.max_verts - 3)
             shadow_org = ray_offset(x, wo)
             blocked = occluded(scene.geom, shadow_org, wo,
-                               dist * (1.0 - 1e-3),
+                               jnp.where(can, dist * (1.0 - 1e-3), 0.0),
                                ignore_prim=hit.prim, ignore_prim2=ls['prim'])
             can = can & ~blocked
+            nrays = nrays + valid.astype(jnp.int32)  # shadow ray traced
             # throughput: T * f * G * em * edf / pdf_area  (nee.h:204-206)
             pdf_nee = ls['pdf_area'][..., None]
-            val = state['thr'] * f * (g_nee * edf)[..., None] * l_em / pdf_nee
+            pdf_nee_safe = jnp.where(pdf_nee > 0.0, pdf_nee, 1.0)
+            # sanitize the geometry factor so partials w.r.t. thr / l_em
+            # stay finite on garbage (escaped/masked) lanes
+            gfac = (g_nee * edf)[..., None] / pdf_nee_safe
+            gfac = jnp.where(jnp.isfinite(gfac), gfac, 0.0)
+            val = state['thr'] * f * gfac * l_em
             # MIS vs bsdf extension (ptdl.c:141-145): pdfs in area measure
             pdf_ext_area = pdf_bsdf_proj * g_nee[..., None]
             w_nee = _hero_mis(pdf_prod, pdf_nee, pdf_ext_area)
+            w_nee = jax.lax.stop_gradient(
+                jnp.where(jnp.isfinite(w_nee), w_nee, 0.0))
+            val = jnp.where(jnp.isfinite(val), val, 0.0)
             accum = accum + jnp.where(can[..., None], val * w_nee, 0.0)
 
         # --- extend: sample bsdf (path_extend, pathspace.c:190-207)
@@ -177,6 +230,16 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
         r2 = rnd(rng.Dim.OMEGA_Y, salt=1 + depth)
         rm = rnd(rng.Dim.SCATTER_MODE, salt=1 + depth)
         wo, pdf_proj_new, bsdf_w, mode = bsdf_mod.bsdf_sample(sp, d, r1, r2, rm)
+        # detached-sampling estimator: sampled directions and pdfs are
+        # treated as constants of the backward pass (gradients flow through
+        # throughput/value terms only); this also firewalls NaN partials
+        # from masked-out lanes of the dense BSDF dispatch
+        wo = jax.lax.stop_gradient(wo)
+        pdf_proj_new = jax.lax.stop_gradient(
+            jnp.where(jnp.isfinite(pdf_proj_new), pdf_proj_new, 0.0))
+        # a non-finite weight on any (dead/garbage) lane would poison
+        # d thr_new / d thr_old for the whole backward scan
+        bsdf_w = jnp.where(jnp.isfinite(bsdf_w), bsdf_w, 0.0)
         thr = state['thr'] * bsdf_w
         still = valid & jnp.any(thr > 0.0, axis=-1) & \
             jnp.any(pdf_proj_new > 0.0, axis=-1)
@@ -186,7 +249,9 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
         new_len = state['length'] + 1
         ratio = jnp.where(state['thr'][..., 0] > 0.0,
                           thr[..., 0] / jnp.maximum(state['thr'][..., 0], 1e-30), 0.0)
-        p_survive = jnp.clip(ratio, 0.05, 1.0)
+        # the survival probability is a sampling decision — detached like
+        # all pdfs (its gradient chain through 1/thr also overflows f32)
+        p_survive = jax.lax.stop_gradient(jnp.clip(ratio, 0.05, 1.0))
         do_rr = new_len > cfg.rr_start
         rrnd = rnd(rng.Dim.RUSSIAN_R, salt=1 + depth)
         survive = ~do_rr | (rrnd < p_survive)
@@ -206,10 +271,11 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
             alive=still,
             accum=accum,
             length=new_len,
+            nrays=nrays,
         )
-        # keep dead lanes' accum, freeze the rest
+        # keep dead lanes' accum/ray counts, freeze the rest
         out = {k: jnp.where(_bmask(alive, new_state[k]), new_state[k], state[k])
-               if k != 'accum' else new_state[k]
+               if k not in ('accum', 'nrays') else new_state[k]
                for k in state}
         return out, None
 
@@ -222,18 +288,36 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
         return bounce(st, depth)
 
     state, _ = jax.lax.scan(scan_body, state, jnp.arange(cfg.max_verts - 1))
-    return state['accum'], lam, pix_i, pix_j
+    return state['accum'], lam, pix_i, pix_j, state
 
 
-def render_sample(scene, cfg: PTConfig, sample_idx):
-    """One progression: 1 jittered path per pixel, returns the XYZ splat
-    image [H, W, 3] (unnormalized, like the reference's accumulation FB)."""
+def count_rays(scene, cfg: PTConfig, sample_idx, pixel_idx):
+    """Total traced rays (alive extension + shadow) for one progression —
+    the quantity behind the Mrays/s benchmark (bench.py)."""
+    def f(sc, s, pix):
+        *_, state = _sample_paths_full(sc, cfg, s, pix)
+        return jnp.sum(state['nrays'])
+    return jax.jit(f)(scene, sample_idx, pixel_idx)
+
+
+def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1):
+    """One launch of ``batch`` progressions (1 jittered path per pixel per
+    progression, sample indices sample_idx .. sample_idx+batch-1); returns
+    the XYZ splat image [H, W, 3] (unnormalized accumulation FB).
+
+    Batching widens the wavefront instead of looping — the analogue of the
+    reference's ``--batch N`` progressions per sync (src/main.c:268-276)."""
     from ..ops import splat as splat_mod
     n = cfg.width * cfg.height
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
-    accum, lam, pix_i, pix_j = sample_paths(scene, cfg, sample_idx, pixel_idx)
+    pixel_idx = jnp.tile(jnp.arange(n, dtype=jnp.uint32), batch)
+    sidx = jnp.repeat(jnp.uint32(sample_idx) + jnp.arange(batch, dtype=jnp.uint32), n)
+    accum, lam, pix_i, pix_j = sample_paths(scene, cfg, sidx, pixel_idx)
     # spectral -> camera XYZ (view_deferred_splat, view.c:465-473)
     accum = jnp.where(jnp.isfinite(accum), accum, 0.0)
     xyz = cie.spectral_to_xyz(lam, accum)
     fb = jnp.zeros((cfg.height, cfg.width, 3))
-    return splat_mod.splat(fb, pix_i, pix_j, xyz)
+    # pixel-aligned wavefront -> dense stencil splat (25 shifted adds, no
+    # scatter); jitters recovered from the continuous image coords
+    jx = pix_i - jnp.floor(pix_i)
+    jy = pix_j - jnp.floor(pix_j)
+    return splat_mod.splat_pixel_aligned(fb, jx, jy, xyz, batch=batch)

@@ -26,7 +26,7 @@ from .io import nra2 as nra2_io
 from .io import geo as geo_io
 from .io import cam as cam_io
 from .ops import bvh as bvh_mod
-from .ops.trace import DeviceBVH, DeviceGeometry
+from .ops.trace import make_device_geometry
 from .spectral import rgb2spec
 
 # sky kinds
@@ -253,31 +253,14 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
     lin_r1 = np.concatenate(lin_r1) if lin_r1 else np.zeros((0,), np.float32)
     lin_sh = np.concatenate(lin_sh) if lin_sh else np.zeros((0,), np.int32)
 
-    # --- BVHs
-    tb = bvh_mod.build_bvh(*bvh_mod.tri_bounds(tri_v)) if len(tri_v) else bvh_mod.build_bvh(
-        np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32))
-    sb = bvh_mod.build_bvh(*bvh_mod.sphere_bounds(sph_c, sph_r))
     lvtx = np.stack([lin_v0, lin_v1], axis=1) if len(lin_v0) else np.zeros((0, 2, 3), np.float32)
     lrad = np.stack([lin_r0, lin_r1], axis=1) if len(lin_r0) else np.zeros((0, 2), np.float32)
-    lb = bvh_mod.build_bvh(*bvh_mod.line_bounds(lvtx, lrad))
 
-    geom = DeviceGeometry(
-        tri_v0=jnp.asarray(tri_v[:, 0]),
-        tri_e1=jnp.asarray(tri_v[:, 1] - tri_v[:, 0]),
-        tri_e2=jnp.asarray(tri_v[:, 2] - tri_v[:, 0]),
-        tri_vn=jnp.asarray(tri_n),
-        tri_uv=jnp.asarray(tri_uvs),
-        tri_shader=jnp.asarray(tri_sh),
-        tri_quad_half=jnp.asarray(tri_half.astype(np.int32)),
-        sph_c=jnp.asarray(sph_c), sph_r=jnp.asarray(sph_r),
-        sph_shader=jnp.asarray(sph_sh),
-        line_v0=jnp.asarray(lin_v0), line_v1=jnp.asarray(lin_v1),
-        line_r0=jnp.asarray(lin_r0), line_r1=jnp.asarray(lin_r1),
-        line_shader=jnp.asarray(lin_sh),
-        tri_bvh=DeviceBVH.from_host(tb),
-        sph_bvh=DeviceBVH.from_host(sb),
-        line_bvh=DeviceBVH.from_host(lb),
-    )
+    geom = make_device_geometry(
+        tri_v=tri_v, tri_vn=tri_n, tri_uv=tri_uvs,
+        tri_quad_half=tri_half.astype(np.int32), tri_shader=tri_sh,
+        sph_c=sph_c, sph_r=sph_r, sph_shader=sph_sh,
+        line_vtx=lvtx, line_radii=lrad, line_shader=lin_sh)
     prim_shader = np.concatenate([tri_sh, sph_sh, lin_sh]) if (
         len(tri_sh) + len(sph_sh) + len(lin_sh)) else np.zeros((0,), np.int32)
 
@@ -318,8 +301,10 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
     # --- light table: per emissive prim, weight = area * L_avg
     # L_avg matches color.c shape_init: mul * mean(sigmoid at 400/480/560/660)
     lam4 = np.array([400.0, 480.0, 560.0, 660.0], np.float32)
-    e_eval = np.asarray(rgb2spec.eval_coeff(jnp.asarray(e_c)[:, None, :],
-                                            jnp.asarray(lam4)[None, :]))
+    import jax as _jax
+    with _jax.default_device(_jax.devices('cpu')[0]):
+        e_eval = np.asarray(rgb2spec.eval_coeff(jnp.asarray(e_c)[:, None, :],
+                                                jnp.asarray(lam4)[None, :]))
     L_mat = e_m * e_eval.mean(axis=1)           # [M]
 
     def tri_area(v):

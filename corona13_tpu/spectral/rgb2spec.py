@@ -139,7 +139,10 @@ def fit_coeff_scaled(rgb: np.ndarray, space: str = 'ergb') -> tuple[np.ndarray, 
     rgb = np.asarray(rgb, np.float32)
     mul = np.maximum(rgb.max(axis=-1), 1.0)
     unit = rgb / mul[..., None]
-    coeff = np.asarray(fit_coeff(jnp.asarray(unit), space=space))
+    # scene-load-time work: run on host CPU so renders on accelerators don't
+    # pay a device compile of the 3x3 LM solve
+    with jax.default_device(jax.devices('cpu')[0]):
+        coeff = np.asarray(fit_coeff(jnp.asarray(unit), space=space))
     return coeff, mul
 
 

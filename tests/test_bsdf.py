@@ -1,0 +1,135 @@
+"""BSDF sample/eval/pdf consistency — the vmapped analogue of the
+reference's battle test (corona-13 src/render.d/battletest.c +
+regression/makebattletest.sh): for each material, check that
+
+  * the pdf reported by ``sample`` matches ``pdf`` evaluated at the
+    sampled direction,
+  * weight * pdf == f (sample weight is f/pdf),
+  * the pdf integrates to <= 1 over the sphere (MC),
+  * white-furnace energy conservation for diffuse.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from corona13_tpu.models import bsdf
+from corona13_tpu.ops import rng
+
+MF = 4
+N = 4096
+
+
+def _make_sp(kind, roughness, n_rows=N, eta=1.5):
+    ones = jnp.ones((n_rows, MF))
+    n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n_rows, 3))
+    return bsdf.ShadingPoint(
+        kind=jnp.full((n_rows,), kind, jnp.int32),
+        rd=ones * 0.8, rg=ones * 1.0, em=jnp.zeros((n_rows, MF)),
+        roughness=jnp.full((n_rows,), roughness),
+        eta_ratio=ones / eta,  # entering: n1/n2 = 1/eta
+        fresnel_eta=ones * 0.2, fresnel_k=ones * 3.0,
+        n=n, gn=n, inside=jnp.zeros((n_rows,), bool))
+
+
+def _wi(theta_deg=40.0):
+    t = np.radians(theta_deg)
+    # propagation direction INTO the surface (downward onto +z normal)
+    return jnp.broadcast_to(
+        jnp.array([np.sin(t), 0.0, -np.cos(t)], jnp.float32), (N, 3))
+
+
+def _rands(seed):
+    pix = jnp.arange(N, dtype=jnp.uint32)
+    return (rng.uniform(pix, 0, 0, seed), rng.uniform(pix, 0, 1, seed),
+            rng.uniform(pix, 0, 2, seed))
+
+
+def _check_sample_pdf_consistency(kind, roughness, tol=0.03):
+    sp = _make_sp(kind, roughness)
+    wi = _wi()
+    r1, r2, rm = _rands(3)
+    wo, pdf_s, w, mode = bsdf.bsdf_sample(sp, wi, r1, r2, rm)
+    f, pdf_e = bsdf.bsdf_eval_pdf(sp, wi, wo)
+    live = np.asarray(jnp.any(w > 0, axis=-1) &
+                      ((mode & bsdf.MODE_SPECULAR) == 0))
+    assert live.mean() > 0.5
+    pdf_s, pdf_e = np.asarray(pdf_s), np.asarray(pdf_e)
+    f, w = np.asarray(f), np.asarray(w)
+    # pdf(sample) == pdf(eval) at wo
+    rel = np.abs(pdf_s - pdf_e) / np.maximum(pdf_s, 1e-6)
+    assert np.quantile(rel[live], 0.95) < tol, rel[live].max()
+    # weight * pdf == f  (projected-solid-angle measure on both sides)
+    rel2 = np.abs(w * pdf_s - f) / np.maximum(f, 1e-4)
+    assert np.quantile(rel2[live], 0.95) < tol
+
+
+def test_diffuse_consistency():
+    _check_sample_pdf_consistency(bsdf.DIFFUSE, 1.0)
+
+
+def test_rough_dielectric_consistency():
+    _check_sample_pdf_consistency(bsdf.DIELECTRIC, 0.3)
+
+
+def test_rough_metal_consistency():
+    _check_sample_pdf_consistency(bsdf.METAL, 0.3)
+
+
+def test_diffuse_furnace():
+    """E[weight] over cosine samples = albedo (energy conservation)."""
+    sp = _make_sp(bsdf.DIFFUSE, 1.0)
+    wi = _wi()
+    r1, r2, rm = _rands(11)
+    wo, pdf, w, mode = bsdf.bsdf_sample(sp, wi, r1, r2, rm)
+    mean_w = float(jnp.mean(w[..., 0]))
+    assert abs(mean_w - 0.8) < 0.01
+
+
+def test_pdf_integrates_to_at_most_one():
+    """MC integral of pdf_proj * |cos| over uniform sphere directions ~ P(sample
+    succeeds) <= 1 for each material."""
+    for kind, rough in ((bsdf.DIFFUSE, 1.0), (bsdf.DIELECTRIC, 0.4),
+                        (bsdf.METAL, 0.4)):
+        sp = _make_sp(kind, rough, n_rows=1 << 15)
+        t = np.radians(35.0)
+        wi = jnp.broadcast_to(
+            jnp.array([np.sin(t), 0.0, -np.cos(t)], jnp.float32), (1 << 15, 3))
+        pix = jnp.arange(1 << 15, dtype=jnp.uint32)
+        r1 = rng.uniform(pix, 1, 0)
+        r2 = rng.uniform(pix, 1, 1)
+        z = 1.0 - 2.0 * r1
+        s = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+        phi = 2.0 * jnp.pi * r2
+        wo = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1)
+        _, pdf = bsdf.bsdf_eval_pdf(sp, wi, wo)
+        # pdf is in projected solid angle: d omega_perp = |cos| d omega
+        integ = float(jnp.mean(pdf[..., 0] * jnp.abs(wo[..., 2])) * 4.0 * jnp.pi)
+        assert integ < 1.05, (kind, integ)
+        if kind == bsdf.DIFFUSE:
+            assert integ > 0.9  # diffuse pdf should integrate to ~1
+
+
+def test_dielectric_specular_refracts():
+    sp = _make_sp(bsdf.DIELECTRIC, 0.0)
+    wi = _wi(30.0)
+    r1, r2, _ = _rands(7)
+    # force transmission: r_mode = 1 (> fresnel ~ 0.04 at 30 deg)
+    rm = jnp.ones((N,))
+    wo, pdf, w, mode = bsdf.bsdf_sample(sp, wi, r1, r2, rm)
+    wo = np.asarray(wo)
+    assert (wo[:, 2] < 0).all()  # transmitted through the surface
+    # Snell: sin(theta_t) = sin(30)/1.5
+    sin_t = np.abs(wo[:, 0])
+    np.testing.assert_allclose(sin_t, np.sin(np.radians(30)) / 1.5, atol=1e-4)
+    assert (np.asarray(mode) & bsdf.MODE_TRANSMIT).all()
+    assert (np.asarray(mode) & bsdf.MODE_SPECULAR).all()
+
+
+def test_metal_mirror_reflects():
+    sp = _make_sp(bsdf.METAL, 0.0)
+    wi = _wi(30.0)
+    r1, r2, rm = _rands(8)
+    wo, pdf, w, mode = bsdf.bsdf_sample(sp, wi, r1, r2, rm)
+    wo = np.asarray(wo)
+    np.testing.assert_allclose(wo[:, 2], np.cos(np.radians(30)), atol=1e-5)
+    np.testing.assert_allclose(wo[:, 0], np.sin(np.radians(30)), atol=1e-5)
