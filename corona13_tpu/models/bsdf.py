@@ -402,42 +402,71 @@ def metal_eval_pdf(sp: ShadingPoint, wi, wo):
 
 # --- dispatch --------------------------------------------------------------
 
-def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode):
-    """Sample all lobes and select by material kind.
+ALL_KINDS = (DIFFUSE, DIELECTRIC, METAL)
+
+
+def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode, kinds=ALL_KINDS):
+    """Sample all lobes present in the scene and select by material kind.
+
+    ``kinds``: static tuple of material kinds the scene uses — branches
+    for absent kinds compile away entirely (XLA specializes per scene,
+    the runtime analogue of the reference's compile-time config.mk
+    module selection).
 
     Returns (wo, pdf_proj[MF], weight[MF], mode_bits[int32]).
     """
-    wo_d, pdf_d, w_d = diffuse_sample(sp, wi, r1, r2)
-    wo_g, pdf_g, w_g, spec_g, trans_g = dielectric_sample(sp, wi, r1, r2, r_mode)
-    wo_m, pdf_m, w_m, spec_m = metal_sample(sp, wi, r1, r2)
+    wo = jnp.broadcast_to(wi, wi.shape)
+    pdf = jnp.zeros_like(sp.rd)
+    w = jnp.zeros_like(sp.rd)
+    mode = jnp.zeros(wi.shape[:-1], jnp.int32)
 
-    is_d = sp.kind == DIFFUSE
-    is_g = sp.kind == DIELECTRIC
-    is_m = sp.kind == METAL
+    if DIFFUSE in kinds:
+        wo_d, pdf_d, w_d = diffuse_sample(sp, wi, r1, r2)
+        is_d = sp.kind == DIFFUSE
+        wo = jnp.where(is_d[..., None], wo_d, wo)
+        pdf = jnp.where(is_d[..., None], pdf_d, pdf)
+        w = jnp.where(is_d[..., None], w_d, w)
+        mode = jnp.where(is_d, MODE_DIFFUSE | MODE_REFLECT, mode)
+    if DIELECTRIC in kinds:
+        wo_g, pdf_g, w_g, spec_g, trans_g = dielectric_sample(sp, wi, r1, r2,
+                                                              r_mode)
+        is_g = sp.kind == DIELECTRIC
+        wo = jnp.where(is_g[..., None], wo_g, wo)
+        pdf = jnp.where(is_g[..., None], pdf_g, pdf)
+        w = jnp.where(is_g[..., None], w_g, w)
+        g_mode = jnp.where(spec_g, MODE_SPECULAR, MODE_GLOSSY) | \
+            jnp.where(trans_g, MODE_TRANSMIT, MODE_REFLECT)
+        mode = jnp.where(is_g, g_mode, mode)
+    if METAL in kinds:
+        wo_m, pdf_m, w_m, spec_m = metal_sample(sp, wi, r1, r2)
+        is_m = sp.kind == METAL
+        wo = jnp.where(is_m[..., None], wo_m, wo)
+        pdf = jnp.where(is_m[..., None], pdf_m, pdf)
+        w = jnp.where(is_m[..., None], w_m, w)
+        m_mode = jnp.where(spec_m, MODE_SPECULAR, MODE_GLOSSY) | MODE_REFLECT
+        mode = jnp.where(is_m, m_mode, mode)
 
-    wo = jnp.where(is_d[..., None], wo_d, jnp.where(is_g[..., None], wo_g, wo_m))
-    pdf = jnp.where(is_d[..., None], pdf_d, jnp.where(is_g[..., None], pdf_g, pdf_m))
-    w = jnp.where(is_d[..., None], w_d, jnp.where(is_g[..., None], w_g, w_m))
-
-    mode = jnp.where(is_d, MODE_DIFFUSE | MODE_REFLECT, 0)
-    g_mode = jnp.where(spec_g, MODE_SPECULAR, MODE_GLOSSY) | \
-        jnp.where(trans_g, MODE_TRANSMIT, MODE_REFLECT)
-    mode = jnp.where(is_g, g_mode, mode)
-    m_mode = jnp.where(spec_m, MODE_SPECULAR, MODE_GLOSSY) | MODE_REFLECT
-    mode = jnp.where(is_m, m_mode, mode)
     mode = jnp.where(jnp.any(w > 0.0, axis=-1), mode, MODE_ABSORB)
     return wo, pdf, w, mode.astype(jnp.int32)
 
 
-def bsdf_eval_pdf(sp: ShadingPoint, wi, wo):
+def bsdf_eval_pdf(sp: ShadingPoint, wi, wo, kinds=ALL_KINDS):
     """Evaluate f and pdf for a connection direction (NEE / MIS).
     Specular lobes return 0 (cannot be hit by connections)."""
-    f_d = diffuse_eval(sp, wi, wo)
-    p_d = diffuse_pdf(sp, wi, wo)
-    f_g, p_g = dielectric_eval_pdf(sp, wi, wo)
-    f_m, p_m = metal_eval_pdf(sp, wi, wo)
-    is_d = (sp.kind == DIFFUSE)[..., None]
-    is_g = (sp.kind == DIELECTRIC)[..., None]
-    f = jnp.where(is_d, f_d, jnp.where(is_g, f_g, f_m))
-    pdf = jnp.where(is_d, p_d, jnp.where(is_g, p_g, p_m))
+    f = jnp.zeros_like(sp.rd)
+    pdf = jnp.zeros_like(sp.rd)
+    if DIFFUSE in kinds:
+        is_d = (sp.kind == DIFFUSE)[..., None]
+        f = jnp.where(is_d, diffuse_eval(sp, wi, wo), f)
+        pdf = jnp.where(is_d, diffuse_pdf(sp, wi, wo), pdf)
+    if DIELECTRIC in kinds:
+        is_g = (sp.kind == DIELECTRIC)[..., None]
+        f_g, p_g = dielectric_eval_pdf(sp, wi, wo)
+        f = jnp.where(is_g, f_g, f)
+        pdf = jnp.where(is_g, p_g, pdf)
+    if METAL in kinds:
+        is_m = (sp.kind == METAL)[..., None]
+        f_m, p_m = metal_eval_pdf(sp, wi, wo)
+        f = jnp.where(is_m, f_m, f)
+        pdf = jnp.where(is_m, p_m, pdf)
     return f, pdf

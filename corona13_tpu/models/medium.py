@@ -1,0 +1,104 @@
+"""Homogeneous participating media (absorption + scattering + HG phase).
+
+TPU-native equivalent of the reference's homogeneous medium shaders
+(corona-13 src/shaders/medium_rgb.c, the analytic transmittance / exp
+free-path fallbacks in src/shader.c:48-106) and the volume branch of
+path_extend/nee: media parameters live in the material table
+(scene.MaterialTable med_* columns, filled from ``medium_rgb``/``color v``
+lines via mult/interior chains), a path tracks its current interior
+material id, and free-flight sampling happens against the hero-wavelength
+extinction with per-lane spectral reweighting:
+
+    pdf(dist)   = sigma_t_hero * exp(-sigma_t_hero * dist)
+    weight_l    = sigma_s_l * exp(-sigma_t_l * dist) / pdf       (scatter)
+    pdf(surf)   = exp(-sigma_t_hero * t_hit)
+    weight_l    = exp(-sigma_t_l * t_hit) / pdf(surf)            (pass-through)
+
+Phase function: Henyey-Greenstein with mean cosine g (med_g), matching
+the reference's HG sampling (shader.c volume callbacks; mf_set semantics).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..spectral import rgb2spec
+from ..utils.math import dot, normalize, build_onb
+
+
+def sigma_t(materials, med, lam):
+    """Extinction sigma_t(lambda) [N, MF] for medium material ids ``med``
+    (-1 = vacuum -> 0).  med_mut stores 1/mfp fitted spectra."""
+    m = jnp.maximum(med, 0)
+    st = (materials.med_mut_mul[m, None]
+          * rgb2spec.eval_coeff(materials.med_mut_coeff[m][..., None, :], lam))
+    return jnp.where((med >= 0)[..., None], st, 0.0)
+
+
+def sigma_s(materials, med, lam):
+    """Scattering coefficient sigma_s = sigma_t * albedo(lambda)."""
+    m = jnp.maximum(med, 0)
+    alb = jnp.clip(
+        materials.med_mus_mul[m, None]
+        * rgb2spec.eval_coeff(materials.med_mus_coeff[m][..., None, :], lam),
+        0.0, 1.0)
+    return sigma_t(materials, med, lam) * alb
+
+
+def transmittance(materials, med, lam, dist):
+    """exp(-sigma_t * dist) per hero lane; 1 in vacuum."""
+    st = sigma_t(materials, med, lam)
+    return jnp.exp(-st * jnp.minimum(dist, 1e4)[..., None])
+
+
+def sample_dist(materials, med, lam, t_hit, rnd):
+    """Hero-wavelength free-flight sampling.
+
+    Returns (scatter [N] bool, dist [N], weight [N, MF]) — weight is the
+    spectral f/p factor to multiply into the path throughput for either
+    outcome (scatter at ``dist`` or pass through to the surface at
+    ``t_hit``)."""
+    st = sigma_t(materials, med, lam)            # [N, MF]
+    st_h = st[..., 0]
+    in_med = (med >= 0) & (st_h > 0.0)
+    st_h_safe = jnp.where(in_med, st_h, 1.0)
+    dist = -jnp.log(jnp.maximum(1.0 - rnd, 1e-20)) / st_h_safe
+    scatter = in_med & (dist < t_hit)
+    d_eff = jnp.where(scatter, dist, t_hit)
+    d_eff = jnp.minimum(d_eff, 1e4)
+    tr = jnp.exp(-st * d_eff[..., None])         # per-lane transmittance
+    ss = sigma_s(materials, med, lam)
+    # scatter: sigma_s_l * T_l / (sigma_t_h * T_h); surface: T_l / T_h
+    pdf_scatter = st_h_safe[..., None] * tr[..., 0:1]
+    w_scatter = ss * tr / jnp.maximum(pdf_scatter, 1e-30)
+    w_surface = tr / jnp.maximum(tr[..., 0:1], 1e-30)
+    w = jnp.where(scatter[..., None], w_scatter, w_surface)
+    w = jnp.where(in_med[..., None], w, 1.0)
+    return scatter, dist, w
+
+
+def hg_phase(g, cos_t):
+    """Henyey-Greenstein phase function value (1/sr)."""
+    denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-8)
+    return (1.0 - g * g) / (4.0 * jnp.pi * denom * jnp.sqrt(denom))
+
+
+def hg_sample(g, wi, r1, r2):
+    """Sample an outgoing direction around the propagation direction wi.
+
+    Returns (wo [N,3], pdf [N]); pdf equals the phase value (perfect
+    importance sampling), isotropic for |g| ~ 0."""
+    g = jnp.asarray(g)
+    iso = jnp.abs(g) < 1e-3
+    g_safe = jnp.where(iso, 0.5, g)
+    sq = (1.0 - g_safe * g_safe) / (1.0 + g_safe - 2.0 * g_safe * r1)
+    cos_t_aniso = (1.0 + g_safe * g_safe - sq * sq) / (2.0 * g_safe)
+    cos_t = jnp.where(iso, 1.0 - 2.0 * r1, jnp.clip(cos_t_aniso, -1.0, 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+    phi = 2.0 * jnp.pi * r2
+    u, v = build_onb(wi)
+    wo = (cos_t[..., None] * wi
+          + (sin_t * jnp.cos(phi))[..., None] * u
+          + (sin_t * jnp.sin(phi))[..., None] * v)
+    return normalize(wo), hg_phase(g, cos_t)

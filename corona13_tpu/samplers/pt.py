@@ -30,6 +30,7 @@ from flax import struct
 
 from ..models import camera as camera_mod
 from ..models import lights as lights_mod
+from ..models import medium as medium_mod
 from ..models import shading as shading_mod
 from ..models import bsdf as bsdf_mod
 from ..ops import rng
@@ -49,6 +50,9 @@ class PTConfig:
     seed: int = struct.field(pytree_node=False, default=0)
     rr_start: int = struct.field(pytree_node=False, default=4)  # path length
     # pt.c does throughput-ratio RR after length>3; ptdl runs to max_verts
+    media: bool = struct.field(pytree_node=False, default=False)
+    # enable homogeneous participating media (free-flight sampling + HG
+    # phase + interior tracking); static so media-free scenes compile lean
 
 
 def _hero_mis(pdf_prod_prev, our_pdf, other_pdf):
@@ -114,6 +118,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         accum=thr0 * 0.0,
         length=izero + 1,             # vertices so far (camera = 1)
         nrays=izero,                  # traced rays (extend + shadow)
+        in_medium=izero + INVALID_PRIM,  # interior material id (-1 vacuum)
     )
     # camera lambert: the reference uses hit.n of the aperture vertex; our
     # pdf_proj already excludes it — prev_n only feeds G, so store cam n:
@@ -128,8 +133,23 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         # and they fall straight through the traversal
         hit = intersect(scene.geom, org, d, ignore_prim=state['prev_prim'],
                         t_max=jnp.where(alive, MAX_DIST, 0.0))
-        valid = hit.valid & alive
         nrays = state['nrays'] + alive.astype(jnp.int32)
+
+        # --- free-flight through the interior medium (path_propagate's
+        # shader_vol_sample step, pathspace.c:697-740 + shader.c:77-106)
+        if cfg.media:
+            r_free = rnd(rng.Dim.FREE_PATH, salt=1 + depth)
+            scat, vdist, w_med = medium_mod.sample_dist(
+                scene.materials, state['in_medium'], lam, hit.t, r_free)
+            scat = scat & alive
+            w_med = jnp.where(jnp.isfinite(w_med), w_med, 0.0)
+            thr_in = state['thr'] * jnp.where(alive[..., None], w_med, 1.0)
+        else:
+            scat = alive & (izero > 0)  # all-False, varying
+            vdist = hit.t
+            thr_in = state['thr']
+
+        valid = hit.valid & alive & ~scat
         # escaped rays park at a finite 1 km like the reference's envmap
         # vertices (pathspace.c:856-873, shader.c:62-64) — an infinite x
         # would breed NaNs that poison gradients through masked products
@@ -141,6 +161,16 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         g = (_lambert(state['prev_n'], d) * _lambert(sp.n, d)
              / jnp.maximum(hit.t * hit.t, 1e-20))
         pdf_area = state['pdf_proj'] * g[..., None]  # v[v].pdf in area measure
+        if cfg.media:
+            # per-lane distance pdfs of the free flight enter the vertex
+            # pdf like the reference's volume pdf terms (vol distance pdf
+            # = sigma_t*T at scatter, survival T at the surface)
+            st_med = medium_mod.sigma_t(scene.materials, state['in_medium'],
+                                        lam)
+            d_eff = jnp.minimum(jnp.where(scat, vdist, hit.t), 1e4)
+            tr_pdf = jnp.exp(-st_med * d_eff[..., None])
+            pdf_area = jnp.where(scat[..., None], st_med * tr_pdf,
+                                 pdf_area * tr_pdf)
         # overflow guard: a non-finite pdf on one lane would poison the
         # hero-MIS weights (and leak NaN into gradients via 0-cotangent
         # products even on masked lanes)
@@ -149,13 +179,13 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         # --- environment hit: escaped rays collect sky radiance with
         # hero-MIS only (no envmap NEE yet; nee_pdf = 0 like nee.h:21-26
         # for non-connectable env setups)
-        missed = alive & ~hit.valid
+        missed = alive & ~hit.valid & ~scat
         sky = lights_mod.sky_eval(scene, d, lam)
         w_sky = _hero_mis(state['pdf_prod'], state['pdf_proj'],
                           jnp.zeros_like(state['pdf_proj']))
         w_sky = jax.lax.stop_gradient(
             jnp.where(jnp.isfinite(w_sky), w_sky, 0.0))
-        accum_sky = jnp.where(missed[..., None], state['thr'] * sky * w_sky, 0.0)
+        accum_sky = jnp.where(missed[..., None], thr_in * sky * w_sky, 0.0)
 
         # --- emitter hit (ptdl.c:117-125 / pt.c:44-49)
         le = lights_mod.eval_vertex(sp.em, sp.roughness, sp.gn, d)
@@ -168,7 +198,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         else:
             w = _hero_mis(state['pdf_prod'], pdf_area, jnp.zeros_like(pdf_area))
         w = jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
-        contrib = state['thr'] * le * w
+        contrib = thr_in * le * w
         accum = state['accum'] + jnp.where(emits[..., None], contrib, 0.0) \
             + accum_sky
 
@@ -177,14 +207,24 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         pp_norm = jnp.max(pdf_prod, axis=-1, keepdims=True)
         pdf_prod = pdf_prod / jnp.where(pp_norm > 0.0, pp_norm, 1.0)
 
-        # --- next event estimation (nee.h:87-243 surface branch)
+        # --- volume scatter vertex position + phase setup (cfg.media)
+        if cfg.media:
+            xv = org + vdist[..., None] * d
+            g_hg = scene.materials.med_g[jnp.maximum(state['in_medium'], 0)]
+            x_nee = jnp.where(scat[..., None], xv, x)
+        else:
+            xv = x
+            g_hg = jnp.zeros(org.shape[:-1])
+            x_nee = x
+
+        # --- next event estimation (nee.h:87-243; surface and volume)
         if cfg.use_nee and scene.lights.n_lights > 0:
             ls = lights_mod.sample_nee(
-                scene.lights, scene.geom, x,
+                scene.lights, scene.geom, x_nee,
                 rnd(rng.Dim.NEE_LIGHT2, salt=10 + depth),
                 rnd(rng.Dim.NEE_X, salt=10 + depth),
                 rnd(rng.Dim.NEE_Y, salt=10 + depth))
-            to_l = ls['pos'] - x
+            to_l = ls['pos'] - x_nee
             dist = jnp.sqrt(jnp.maximum(dot(to_l, to_l), 1e-20))
             wo = to_l / dist[..., None]
             cos_l = -dot(ls['gn'], wo)       # light faces us?
@@ -195,20 +235,37 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
             from ..spectral import rgb2spec as r2s
             l_em = (scene.materials.e_mul[lmat, None] *
                     r2s.eval_coeff(scene.materials.e_coeff[lmat][..., None, :], lam))
-            f, pdf_bsdf_proj = bsdf_mod.bsdf_eval_pdf(sp, d, wo)
-            g_nee = (_lambert(sp.n, wo) * jnp.abs(cos_l)
+            f, pdf_bsdf_proj = bsdf_mod.bsdf_eval_pdf(
+                sp, d, wo, kinds=scene.kinds_used)
+            cos_near = _lambert(sp.n, wo)
+            can_vertex = valid
+            if cfg.media:
+                # volume vertex: phase function instead of BSDF, no cosine
+                # at the scatter point (path_lambert, pathspace.c:45)
+                ph = medium_mod.hg_phase(g_hg, dot(d, wo))
+                f = jnp.where(scat[..., None], ph[..., None], f)
+                pdf_bsdf_proj = jnp.where(scat[..., None], ph[..., None],
+                                          pdf_bsdf_proj)
+                cos_near = jnp.where(scat, 1.0, cos_near)
+                can_vertex = valid | scat
+            g_nee = (cos_near * jnp.abs(cos_l)
                      / jnp.maximum(dist * dist, 1e-20))
             # the NEE vertex extends the path by one: respect max_verts
             # like the reference (nee.h checks PATHSPACE_MAX_VERTS) so a
             # ptdl render integrates the same path space as pt
-            can = valid & (cos_l > 0.0) & jnp.any(f > 0.0, axis=-1) & \
+            can = can_vertex & (cos_l > 0.0) & jnp.any(f > 0.0, axis=-1) & \
                 (ls['pdf_area'] > 0.0) & (depth <= cfg.max_verts - 3)
-            shadow_org = ray_offset(x, wo)
+            shadow_org = jnp.where(scat[..., None], x_nee,
+                                   ray_offset(x_nee, wo)) if cfg.media else \
+                ray_offset(x_nee, wo)
             blocked = occluded(scene.geom, shadow_org, wo,
                                jnp.where(can, dist * (1.0 - 1e-3), 0.0),
-                               ignore_prim=hit.prim, ignore_prim2=ls['prim'])
+                               ignore_prim=jnp.where(scat, INVALID_PRIM,
+                                                     hit.prim)
+                               if cfg.media else hit.prim,
+                               ignore_prim2=ls['prim'])
             can = can & ~blocked
-            nrays = nrays + valid.astype(jnp.int32)  # shadow ray traced
+            nrays = nrays + can_vertex.astype(jnp.int32)  # shadow ray traced
             # throughput: T * f * G * em * edf / pdf_area  (nee.h:204-206)
             pdf_nee = ls['pdf_area'][..., None]
             pdf_nee_safe = jnp.where(pdf_nee > 0.0, pdf_nee, 1.0)
@@ -216,7 +273,14 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
             # stay finite on garbage (escaped/masked) lanes
             gfac = (g_nee * edf)[..., None] / pdf_nee_safe
             gfac = jnp.where(jnp.isfinite(gfac), gfac, 0.0)
-            val = state['thr'] * f * gfac * l_em
+            val = thr_in * f * gfac * l_em
+            if cfg.media:
+                # transmittance of the current interior along the shadow
+                # segment (homogeneous; boundary crossings are blocked by
+                # path_visible semantics anyway)
+                tr_nee = medium_mod.transmittance(
+                    scene.materials, state['in_medium'], lam, dist)
+                val = val * tr_nee
             # MIS vs bsdf extension (ptdl.c:141-145): pdfs in area measure
             pdf_ext_area = pdf_bsdf_proj * g_nee[..., None]
             w_nee = _hero_mis(pdf_prod, pdf_nee, pdf_ext_area)
@@ -229,7 +293,19 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         r1 = rnd(rng.Dim.OMEGA_X, salt=1 + depth)
         r2 = rnd(rng.Dim.OMEGA_Y, salt=1 + depth)
         rm = rnd(rng.Dim.SCATTER_MODE, salt=1 + depth)
-        wo, pdf_proj_new, bsdf_w, mode = bsdf_mod.bsdf_sample(sp, d, r1, r2, rm)
+        wo, pdf_proj_new, bsdf_w, mode = bsdf_mod.bsdf_sample(
+            sp, d, r1, r2, rm, kinds=scene.kinds_used)
+        if cfg.media:
+            # volume extension: HG phase direction; perfect importance
+            # sampling (weight 1, sigma_s/pdf already in w_med)
+            wo_v, pdf_v = medium_mod.hg_sample(g_hg, d, r1, r2)
+            wo = jnp.where(scat[..., None], wo_v, wo)
+            pdf_proj_new = jnp.where(scat[..., None], pdf_v[..., None],
+                                     pdf_proj_new)
+            bsdf_w = jnp.where(scat[..., None], 1.0, bsdf_w)
+            mode = jnp.where(scat,
+                             bsdf_mod.MODE_VOLUME | bsdf_mod.MODE_DIFFUSE,
+                             mode)
         # detached-sampling estimator: sampled directions and pdfs are
         # treated as constants of the backward pass (gradients flow through
         # throughput/value terms only); this also firewalls NaN partials
@@ -240,8 +316,8 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         # a non-finite weight on any (dead/garbage) lane would poison
         # d thr_new / d thr_old for the whole backward scan
         bsdf_w = jnp.where(jnp.isfinite(bsdf_w), bsdf_w, 0.0)
-        thr = state['thr'] * bsdf_w
-        still = valid & jnp.any(thr > 0.0, axis=-1) & \
+        thr = thr_in * bsdf_w
+        still = (valid | scat) & jnp.any(thr > 0.0, axis=-1) & \
             jnp.any(pdf_proj_new > 0.0, axis=-1)
 
         # russian roulette by throughput ratio (pt.c:50-53) once paths are
@@ -261,17 +337,38 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
 
         connectable = (mode & (bsdf_mod.MODE_DIFFUSE | bsdf_mod.MODE_GLOSSY)) > 0
 
+        new_org = ray_offset(x, wo)
+        new_prev_n = sp.n
+        new_prev_prim = hit.prim
+        new_med = state['in_medium']
+        if cfg.media:
+            # interior transitions on transmission (single-level nesting;
+            # the reference's priority stack _path_edge_medium,
+            # pathspace.c:80-115, generalizes this)
+            mat = jnp.clip(scene.prim_shader[jnp.maximum(hit.prim, 0)], 0,
+                           scene.materials.kind.shape[0] - 1)
+            has_med = scene.materials.med_enabled[mat] & valid
+            transmitted = (mode & bsdf_mod.MODE_TRANSMIT) > 0
+            new_med = jnp.where(has_med & transmitted,
+                                jnp.where(sp.inside, -1, mat), new_med)
+            new_org = jnp.where(scat[..., None], xv, new_org)
+            # volume vertices have no cosine: prev_n = wo makes the next
+            # segment's near-lambert exactly 1 (path_lambert convention)
+            new_prev_n = jnp.where(scat[..., None], wo, new_prev_n)
+            new_prev_prim = jnp.where(scat, INVALID_PRIM, new_prev_prim)
+
         new_state = dict(
-            org=x, dir=wo, thr=thr,
+            org=new_org, dir=wo, thr=thr,
             pdf_proj=pdf_proj_new,
             pdf_prod=pdf_prod,
-            prev_n=sp.n,
-            prev_prim=hit.prim,
+            prev_n=new_prev_n,
+            prev_prim=new_prev_prim,
             prev_connectable=connectable,
             alive=still,
             accum=accum,
             length=new_len,
             nrays=nrays,
+            in_medium=new_med,
         )
         # keep dead lanes' accum/ray counts, freeze the rest
         out = {k: jnp.where(_bmask(alive, new_state[k]), new_state[k], state[k])

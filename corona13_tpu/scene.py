@@ -104,6 +104,9 @@ class Scene:
     sky_kind: jnp.ndarray      # int32
     sky_coeff: jnp.ndarray     # [3] emission spectrum coeffs (const sky)
     sky_mul: jnp.ndarray
+    # static: BSDF kinds present — absent branches compile away (the
+    # runtime analogue of the reference's compile-time module selection)
+    kinds_used: tuple = struct.field(pytree_node=False, default=(0, 1, 2))
 
 
 @dataclasses.dataclass
@@ -369,5 +372,6 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
     scene = Scene(geom=geom, materials=materials, lights=lights,
                   camera=camera, prim_shader=jnp.asarray(prim_shader),
                   sky_kind=jnp.int32(sky_kind),
-                  sky_coeff=jnp.asarray(sc[0]), sky_mul=jnp.asarray(sm[0]))
+                  sky_coeff=jnp.asarray(sc[0]), sky_mul=jnp.asarray(sm[0]),
+                  kinds_used=tuple(sorted({m.kind for m in mats})))
     return scene, cd

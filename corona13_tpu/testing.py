@@ -127,7 +127,8 @@ def assemble_scene(tri_v, tri_sh, mats, cam: cam_io.CameraData,
     return scene_mod.Scene(
         geom=geom, materials=materials, lights=lights, camera=camera,
         prim_shader=jnp.asarray(prim_shader), sky_kind=jnp.int32(sky_kind),
-        sky_coeff=jnp.asarray(sc[0]), sky_mul=jnp.asarray(sm[0]))
+        sky_coeff=jnp.asarray(sc[0]), sky_mul=jnp.asarray(sm[0]),
+        kinds_used=tuple(sorted({m.kind for m in mats})))
 
 
 def cornell_scene(sphere: str | None = 'diffuse', light=40.0,
@@ -194,6 +195,20 @@ def cornell_scene(sphere: str | None = 'diffuse', light=40.0,
         elif sphere == 'mirror':
             mats.append(M(kind=scene_mod.METAL, g_rgb=(1, 1, 1),
                           roughness=0.0))
+        elif sphere == 'subsurf':
+            # dielectric shell with a scattering interior (0030_subsurf)
+            mats.append(M(kind=scene_mod.DIELECTRIC, g_rgb=(1, 1, 1),
+                          roughness=0.0, ior_nd=1.3, ior_abbe=40.0,
+                          med_mfp_rgb=(0.5, 0.7, 0.9),
+                          med_albedo_rgb=(0.95, 0.9, 0.85), med_g=0.3,
+                          med_enabled=True))
+        elif sphere == 'absorb':
+            # dielectric with purely absorbing interior
+            mats.append(M(kind=scene_mod.DIELECTRIC, g_rgb=(1, 1, 1),
+                          roughness=0.0, ior_nd=1.3, ior_abbe=40.0,
+                          med_mfp_rgb=(1.0, 1.0, 1.0),
+                          med_albedo_rgb=(0.0, 0.0, 0.0),
+                          med_enabled=True))
         else:
             raise ValueError(sphere)
 

@@ -1,0 +1,116 @@
+"""Homogeneous participating media: free-flight statistics, HG phase,
+transmittance, and end-to-end interior media in the path tracer."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from corona13_tpu import render as render_mod
+from corona13_tpu import testing
+from corona13_tpu.models import medium
+from corona13_tpu.samplers import pt as pt_mod
+
+
+def _mats_with_medium(mfp=(2.0, 2.0, 2.0), albedo=(0.8, 0.8, 0.8), g=0.0):
+    sc = testing.cornell_scene(sphere='subsurf')
+    return sc.materials
+
+
+def test_free_flight_statistics():
+    mats = _mats_with_medium()
+    n = 1 << 15
+    med = jnp.full((n,), 4, jnp.int32)   # the subsurf sphere material
+    lam = jnp.broadcast_to(jnp.asarray([550.0, 550.0]), (n, 2))
+    st = float(medium.sigma_t(mats, med, lam)[0, 0])
+    assert st > 0
+    t_hit = jnp.full((n,), 1.0)
+    r = jnp.asarray(np.random.default_rng(0).uniform(0, 1, n).astype(np.float32))
+    scat, dist, w = medium.sample_dist(mats, med, lam, t_hit, r)
+    # P(scatter before t) = 1 - exp(-sigma_t * t)
+    expect = 1.0 - np.exp(-st * 1.0)
+    assert abs(float(jnp.mean(scat)) - expect) < 0.01
+    # scattered distances follow the truncated exponential
+    d = np.asarray(dist)[np.asarray(scat)]
+    assert (d < 1.0).all()
+    # pass-through weight = T_l / T_h = 1 for equal lanes
+    wp = np.asarray(w)[~np.asarray(scat)]
+    np.testing.assert_allclose(wp, 1.0, rtol=1e-5)
+
+
+def test_vacuum_is_identity():
+    mats = _mats_with_medium()
+    n = 256
+    med = jnp.full((n,), -1, jnp.int32)
+    lam = jnp.broadcast_to(jnp.asarray([550.0, 550.0]), (n, 2))
+    scat, dist, w = medium.sample_dist(mats, med, lam, jnp.full((n,), 5.0),
+                                       jnp.full((n,), 0.99))
+    assert not bool(jnp.any(scat))
+    np.testing.assert_allclose(np.asarray(w), 1.0)
+    tr = medium.transmittance(mats, med, lam, jnp.full((n,), 3.0))
+    np.testing.assert_allclose(np.asarray(tr), 1.0)
+
+
+def test_hg_sampling():
+    n = 1 << 15
+    r = np.random.default_rng(1)
+    r1 = jnp.asarray(r.uniform(0, 1, n).astype(np.float32))
+    r2 = jnp.asarray(r.uniform(0, 1, n).astype(np.float32))
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    for g in (0.0, 0.3, -0.5, 0.85):
+        wo, pdf = medium.hg_sample(jnp.full((n,), g), wi, r1, r2)
+        cos = np.asarray(wo[:, 2])
+        assert abs(cos.mean() - g) < 0.01, g
+        # unit directions
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(wo), axis=-1),
+                                   1.0, atol=1e-5)
+        # pdf == phase value at the sampled direction
+        ph = np.asarray(medium.hg_phase(jnp.full((n,), g), jnp.asarray(cos)))
+        np.testing.assert_allclose(np.asarray(pdf), ph, rtol=2e-4)
+
+
+def test_hg_phase_normalized():
+    n = 1 << 15
+    r = np.random.default_rng(2)
+    cos = jnp.asarray(r.uniform(-1, 1, n).astype(np.float32))
+    for g in (0.0, 0.5, -0.7):
+        val = medium.hg_phase(jnp.full((n,), g), cos)
+        integral = float(jnp.mean(val)) * 4.0 * jnp.pi
+        assert abs(integral - 1.0) < 0.03, (g, integral)
+
+
+def test_absorbing_interior_darkens():
+    """A dielectric sphere with an absorbing interior transmits less light
+    than the same sphere with vacuum interior."""
+    cfg = pt_mod.PTConfig(width=48, height=32, max_verts=8, mf=2,
+                          use_nee=True, media=True)
+    cfg_novac = pt_mod.PTConfig(width=48, height=32, max_verts=8, mf=2,
+                                use_nee=True, media=False)
+    sc_abs = testing.cornell_scene(sphere='absorb')
+    sc_clear = testing.cornell_scene(sphere='dielectric')
+    a = render_mod.render(sc_abs, cfg, spp=24).image_xyz
+    b = render_mod.render(sc_clear, cfg_novac, spp=24).image_xyz
+    assert np.isfinite(a).all()
+    # sphere region: center-bottom of the image
+    ya = a[18:28, 16:32, 1].mean()
+    yb = b[18:28, 16:32, 1].mean()
+    assert ya < yb * 0.9, (ya, yb)
+
+
+def test_media_flag_noop_without_media():
+    """media=True on a scene with no interiors must match media=False."""
+    sc = testing.cornell_scene(sphere='diffuse')
+    cfg_on = pt_mod.PTConfig(width=32, height=24, max_verts=4, mf=2,
+                             media=True)
+    cfg_off = pt_mod.PTConfig(width=32, height=24, max_verts=4, mf=2,
+                              media=False)
+    a = pt_mod.render_sample(sc, cfg_on, jnp.uint32(0))
+    b = pt_mod.render_sample(sc, cfg_off, jnp.uint32(0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_subsurf_scene_finite():
+    sc = testing.cornell_scene(sphere='subsurf')
+    cfg = pt_mod.PTConfig(width=32, height=24, max_verts=8, mf=2,
+                          use_nee=True, media=True)
+    img = render_mod.render(sc, cfg, spp=8).image_xyz
+    assert np.isfinite(img).all()
+    assert img.max() > 0
