@@ -77,3 +77,54 @@ def sample(camera, width: int, height: int, pix_i, pix_j, r_ap1, r_ap2, time):
     pdf_proj = pdf_v * pdf_a / g
     throughput = sensor * g / (pdf_a * pdf_v)
     return org, d, throughput, pdf_proj
+
+
+def connect(camera, width: int, height: int, y, r_ap1, r_ap2, time):
+    """Connect a world vertex ``y`` to a sampled aperture point — the LT /
+    BDPT camera connection (reference camera_connect, thinlens.c).
+
+    Derivation: equating the PT estimator (sample) with the particle
+    estimator shows the thin-lens importance response is the *constant*
+    ``sensor`` per (aperture area x emitted solid angle) — all geometry
+    enters through the segment G term and p_aperture, so the splat value
+    for a light-subpath vertex is
+
+        c = T * f(y -> ap) * V * sensor * G(y, ap) / p_ap .
+
+    Returns dict(pix_i, pix_j, ap_pos, dir (y -> aperture, unit), dist,
+    weight = sensor * aperture_area (the 1/p_ap included; caller
+    multiplies f * G and tests visibility), valid).
+    """
+    a, b, n, x = cam_frame(camera, time)
+    lens_radius = 0.5 / camera.f_stop * camera.focal_length
+    phi = 2.0 * jnp.pi * r_ap1
+    rad = jnp.sqrt(r_ap2) * lens_radius
+    u = jnp.cos(phi) * rad
+    v = jnp.sin(phi) * rad
+    aoff = u[..., None] * a + v[..., None] * b
+    ap = x + aoff
+
+    to_y = y - ap
+    dn = jnp.sum(to_y * n, axis=-1)        # along view axis
+    valid = dn > 1e-6
+    dn_safe = jnp.where(valid, dn, 1.0)
+    # focal-plane point of the ray ap -> y (aoff is in the lens plane)
+    s = camera.focus / dn_safe
+    fp = ap + s[..., None] * to_y
+    rel = fp - x - camera.focus * n
+    alpha = jnp.sum(rel * a, axis=-1)
+    beta = jnp.sum(rel * b, axis=-1)
+    f = camera.focus / camera.focal_length
+    f_rg = -camera.film_width * f / width
+    f_up = -camera.film_height * f / height
+    pix_i = alpha / f_rg + 0.5 * width
+    pix_j = beta / f_up + 0.5 * height
+    valid = valid & (pix_i >= 0) & (pix_i < width) & \
+        (pix_j >= 0) & (pix_j < height)
+
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(to_y * to_y, axis=-1), 1e-20))
+    direction = -to_y / dist[..., None]    # y -> aperture
+    sensor = SENSOR_RESPONSE * 100.0 * camera.exposure_time
+    weight = sensor * aperture_area(camera)   # = sensor / p_ap
+    return dict(pix_i=pix_i, pix_j=pix_j, ap_pos=ap, dir=direction,
+                dist=dist, cam_n=n, weight=weight, valid=valid)

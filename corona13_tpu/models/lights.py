@@ -76,6 +76,37 @@ def sample_nee(lights, geom, from_pos, r1, r2, r3):
             'u': u, 'v': v}
 
 
+def sample_emission(lights, geom, materials, prim_shader, lam,
+                    r1, r2, r3, r4, r5):
+    """Start a light subpath (reference lights_sample, list.c:177-240):
+    pick an emissive prim by the area*L CDF, a uniform point on it, and a
+    cosine (diffuse-EDF) direction.
+
+    Returns dict(pos, gn, dir, prim, thr [N, MF]) with
+    thr = Le * cos / (pdf_pos * pdf_dir) — the full light-vertex
+    throughput (for diffuse EDF: em * sum(L*A) / L)."""
+    from ..spectral import rgb2spec
+    from ..utils.math import sample_cos_hemisphere, from_frame, build_onb
+    ls = sample_nee(lights, geom, None, r1, r2, r3)
+    pos, gn, prim = ls['pos'], ls['gn'], ls['prim']
+    pdf_pos = ls['pdf_area']                     # L / sum(L*A)
+    mat = prim_shader[jnp.maximum(prim, 0)]
+    em = (materials.e_mul[mat, None]
+          * rgb2spec.eval_coeff(materials.e_coeff[mat][..., None, :], lam))
+    # cosine direction about the geometric normal (diffuse Phong EDF)
+    d_local, pdf_dir_cos = sample_cos_hemisphere(r4, r5)
+    u, v = build_onb(gn)
+    wo = from_frame(u, v, gn, d_local)
+    cos_t = d_local[..., 2]
+    edf = phong_edf(materials.roughness[mat], cos_t)
+    le = em * edf[..., None]
+    pdf_pos_safe = jnp.where(pdf_pos > 0.0, pdf_pos, 1.0)
+    thr = le * (cos_t / (pdf_pos_safe * jnp.maximum(pdf_dir_cos, 1e-12)))[..., None]
+    thr = jnp.where(jnp.isfinite(thr), thr, 0.0)
+    return dict(pos=pos, gn=gn, dir=wo, prim=prim, thr=thr,
+                pdf_pos=pdf_pos, le=le)
+
+
 def nee_pdf_area(lights, prim):
     """Vertex-area NEE pdf of having sampled global prim ``prim``
     (reference nee_pdf -> lights_pdf_next_event: L/sum(L*A));

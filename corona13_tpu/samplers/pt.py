@@ -81,19 +81,69 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
     return accum, lam, pi, pj
 
 
-def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
+# primary-sample-space layout for MLT replay (the analogue of the
+# reference's fixed per-vertex dim contract, pathspace.h:16-53):
+# dims [0..5] = camera block (image xy, lambda, time, aperture xy);
+# per bounce d: base = 6 + 8*d, [FREE, OMEGA_X, OMEGA_Y, MODE, RR,
+# NEE_LIGHT, NEE_X, NEE_Y]
+N_CAM_DIMS = 6
+N_BOUNCE_DIMS = 8
+
+
+def psd_dims(max_verts: int) -> int:
+    """Primary-sample dimension count for a path of max_verts vertices."""
+    return N_CAM_DIMS + N_BOUNCE_DIMS * (max_verts - 1)
+
+
+def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
+    """u: optional [N, psd_dims] primary-sample array — when given, every
+    random decision reads from it instead of the counter RNG (MLT replay).
+    """
     n = pixel_idx.shape[0]
     mf = cfg.mf
     ps = cfg.pointsampler
 
-    def rnd(dim, salt=0):
-        return rng.sample_dim(ps, pixel_idx, sample_idx, dim + 101 * salt, cfg.seed)
+    if u is None:
+        def rnd(dim, salt=0, family='cam'):
+            return rng.sample_dim(ps, pixel_idx, sample_idx,
+                                  dim + 101 * salt, cfg.seed)
+    else:
+        # map call sites onto the dense layout above; the static ``family``
+        # kwarg disambiguates overlapping per-phase dim values while
+        # ``salt`` carries the traced scan depth (1+depth / 10+depth)
+        _cam_slot = {int(rng.Dim.IMAGE_X): 0, int(rng.Dim.IMAGE_Y): 1,
+                     int(rng.Dim.LAMBDA): 2, int(rng.Dim.TIME): 3,
+                     int(rng.Dim.APERTURE_X): 4, int(rng.Dim.APERTURE_Y): 5}
+        _ext_slot = {int(rng.Dim.FREE_PATH): 0, int(rng.Dim.OMEGA_X): 1,
+                     int(rng.Dim.OMEGA_Y): 2, int(rng.Dim.SCATTER_MODE): 3,
+                     int(rng.Dim.RUSSIAN_R): 4}
+        _nee_slot = {int(rng.Dim.NEE_LIGHT2): 5, int(rng.Dim.NEE_X): 6,
+                     int(rng.Dim.NEE_Y): 7}
+
+        def rnd(dim, salt=0, family='cam'):
+            if family == 'cam':
+                return u[:, _cam_slot[int(dim)]]
+            if family == 'nee':
+                depth = salt - 10
+                slot = _nee_slot[int(dim)]
+            else:
+                depth = salt - 1
+                slot = _ext_slot[int(dim)]
+            col = N_CAM_DIMS + N_BOUNCE_DIMS * depth + slot
+            return jax.lax.dynamic_index_in_dim(u, col, axis=1,
+                                                keepdims=False)
 
     # --- camera start (path_extend v==0 branch, pathspace.c:211-247)
     jx = rnd(rng.Dim.IMAGE_X)
     jy = rnd(rng.Dim.IMAGE_Y)
-    pix_i = (pixel_idx % cfg.width).astype(jnp.float32) + jx
-    pix_j = (pixel_idx // cfg.width).astype(jnp.float32) + jy
+    if u is None:
+        pix_i = (pixel_idx % cfg.width).astype(jnp.float32) + jx
+        pix_j = (pixel_idx // cfg.width).astype(jnp.float32) + jy
+    else:
+        # MLT replay: the image dims span the whole film (kmlt.c uses
+        # s_dim_image * W/H), chains roam across pixels
+        pix_i = jx * cfg.width
+        pix_j = jy * cfg.height
     lam, _lam_pdf = cie.sample_lambda_hero(rnd(rng.Dim.LAMBDA), mf)
     time = rnd(rng.Dim.TIME) * jnp.minimum(1.0, scene.camera.exposure_time * 30.0)
     org, direction, cam_thr, cam_pdf_proj = camera_mod.sample(
@@ -138,7 +188,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         # --- free-flight through the interior medium (path_propagate's
         # shader_vol_sample step, pathspace.c:697-740 + shader.c:77-106)
         if cfg.media:
-            r_free = rnd(rng.Dim.FREE_PATH, salt=1 + depth)
+            r_free = rnd(rng.Dim.FREE_PATH, salt=1 + depth, family='ext')
             scat, vdist, w_med = medium_mod.sample_dist(
                 scene.materials, state['in_medium'], lam, hit.t, r_free)
             scat = scat & alive
@@ -221,9 +271,9 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         if cfg.use_nee and scene.lights.n_lights > 0:
             ls = lights_mod.sample_nee(
                 scene.lights, scene.geom, x_nee,
-                rnd(rng.Dim.NEE_LIGHT2, salt=10 + depth),
-                rnd(rng.Dim.NEE_X, salt=10 + depth),
-                rnd(rng.Dim.NEE_Y, salt=10 + depth))
+                rnd(rng.Dim.NEE_LIGHT2, salt=10 + depth, family='nee'),
+                rnd(rng.Dim.NEE_X, salt=10 + depth, family='nee'),
+                rnd(rng.Dim.NEE_Y, salt=10 + depth, family='nee'))
             to_l = ls['pos'] - x_nee
             dist = jnp.sqrt(jnp.maximum(dot(to_l, to_l), 1e-20))
             wo = to_l / dist[..., None]
@@ -290,9 +340,9 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
             accum = accum + jnp.where(can[..., None], val * w_nee, 0.0)
 
         # --- extend: sample bsdf (path_extend, pathspace.c:190-207)
-        r1 = rnd(rng.Dim.OMEGA_X, salt=1 + depth)
-        r2 = rnd(rng.Dim.OMEGA_Y, salt=1 + depth)
-        rm = rnd(rng.Dim.SCATTER_MODE, salt=1 + depth)
+        r1 = rnd(rng.Dim.OMEGA_X, salt=1 + depth, family='ext')
+        r2 = rnd(rng.Dim.OMEGA_Y, salt=1 + depth, family='ext')
+        rm = rnd(rng.Dim.SCATTER_MODE, salt=1 + depth, family='ext')
         wo, pdf_proj_new, bsdf_w, mode = bsdf_mod.bsdf_sample(
             sp, d, r1, r2, rm, kinds=scene.kinds_used)
         if cfg.media:
@@ -329,7 +379,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx):
         # all pdfs (its gradient chain through 1/thr also overflows f32)
         p_survive = jax.lax.stop_gradient(jnp.clip(ratio, 0.05, 1.0))
         do_rr = new_len > cfg.rr_start
-        rrnd = rnd(rng.Dim.RUSSIAN_R, salt=1 + depth)
+        rrnd = rnd(rng.Dim.RUSSIAN_R, salt=1 + depth, family='ext')
         survive = ~do_rr | (rrnd < p_survive)
         thr = jnp.where((do_rr & survive)[..., None],
                         thr / p_survive[..., None], thr)
