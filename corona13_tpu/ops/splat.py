@@ -68,6 +68,52 @@ def splat_pixel_aligned(fb, jx, jy, col, batch: int = 1,
     return fb + acc
 
 
+N_DBOR = 8  # cascade buffers (reference --dbor default count)
+
+
+def splat_dbor(fbs, pix_i, pix_j, col, spp: int = 1):
+    """Density-based outlier rejection cascade (corona-13 view.c:497-522 +
+    include/dbor.h): a splat with luminance L lands in the log2 cascade at
+    k = log2(L), split linearly between buffers floor(k) and ceil(k) so
+    each buffer holds a trust-banded portion of the image.
+
+    fbs: [N_DBOR, H, W, 3]; returns the updated cascade."""
+    lum = jnp.maximum(col[..., 1], 1e-20)
+    # clamp *values* into the top bucket's level so a firefly cannot
+    # masquerade as many samples of the bucket's nominal brightness
+    k = jnp.clip(jnp.log2(lum), 0.0, N_DBOR - 1 - 1e-4)
+    k0 = jnp.floor(k).astype(jnp.int32)
+    w1 = k - k0
+    h, w = fbs.shape[1], fbs.shape[2]
+    xi = jnp.clip(pix_i.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(pix_j.astype(jnp.int32), 0, h - 1)
+    fbs = fbs.at[k0, yi, xi].add(col * (1.0 - w1)[..., None])
+    fbs = fbs.at[jnp.minimum(k0 + 1, N_DBOR - 1), yi, xi].add(
+        col * w1[..., None])
+    return fbs
+
+
+def dbor_merge(fbs, spp: int, trust: float = 4.0):
+    """Reassemble the cascade (tools/img/dbor.c): buffer k contributes
+    fully where its local sample density reaches ``trust`` samples per
+    ``spp`` progressions (count approximated from the accumulated
+    luminance over the bucket's nominal level 2^k, averaged over a 3x3
+    neighborhood like the reference's density estimate); rare high-energy
+    splats (fireflies) are attenuated proportionally."""
+    out = jnp.zeros(fbs.shape[1:])
+    for k in range(N_DBOR):
+        lum = fbs[k][..., 1]
+        count = lum / (2.0 ** k)
+        # 3x3 neighborhood density
+        cpad = jnp.pad(count, 1)
+        nb = sum(cpad[1 + dy: cpad.shape[0] - 1 + dy,
+                      1 + dx: cpad.shape[1] - 1 + dx]
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+        t = jnp.clip(nb / trust, 0.0, 1.0) if k > 0 else jnp.ones_like(lum)
+        out = out + fbs[k] * t[..., None]
+    return out
+
+
 def bh_window(n):
     """4-term Blackman-Harris window on [0, 3] (filter_bh_w)."""
     a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168

@@ -1,0 +1,85 @@
+"""IO, checkpointing, tools (pfmdiff/welch), AOVs, DBOR cascade."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from corona13_tpu.io import fb as fb_io
+from corona13_tpu.io import pfm as pfm_io
+from corona13_tpu.ops import splat as splat_mod
+from corona13_tpu.samplers import pt as pt_mod
+from corona13_tpu.samplers import vis as vis_mod
+from corona13_tpu.tools import pfmdiff, welch
+
+
+def test_fb_checkpoint_resume(tmp_path):
+    path = str(tmp_path / 'r.fb')
+    f1 = fb_io.Framebuffer.open(path, 8, 4)
+    f1.accumulate(np.full((4, 8, 3), 2.0, np.float32), spp=2)
+    f1.flush(iso=100.0)
+    # resume accumulates on top
+    f2 = fb_io.Framebuffer.open(path, 8, 4, retain=True)
+    assert f2.spp == 2
+    f2.accumulate(np.full((4, 8, 3), 4.0, np.float32), spp=2)
+    f2.flush(iso=100.0)
+    f3 = fb_io.Framebuffer.load(path)
+    assert f3.spp == 4
+    np.testing.assert_allclose(f3.image, (2.0 + 4.0) / 4.0)
+    # non-retained open starts fresh
+    f4 = fb_io.Framebuffer.open(path, 8, 4, retain=False)
+    assert f4.spp == 0
+
+
+def test_pfmdiff_tool(tmp_path):
+    a = np.random.default_rng(0).uniform(0, 1, (6, 8, 3)).astype(np.float32)
+    pa = str(tmp_path / 'a.pfm')
+    pb = str(tmp_path / 'b.pfm')
+    pfm_io.write_pfm(pa, a)
+    pfm_io.write_pfm(pb, a + 0.01)
+    assert pfmdiff.main([pa, pb, '--max-error', '0.02']) == 0
+    assert pfmdiff.main([pa, pb, '--max-error', '0.005']) == 1
+
+
+def test_welch_tool(tmp_path):
+    rngs = np.random.default_rng(1)
+    base = rngs.uniform(0.4, 0.6, (64, 64, 3)).astype(np.float32)
+    pa = str(tmp_path / 'a.pfm')
+    pb = str(tmp_path / 'b.pfm')
+    pc = str(tmp_path / 'c.pfm')
+    pfm_io.write_pfm(pa, base)
+    pfm_io.write_pfm(pb, base + rngs.normal(0, 0.001, base.shape).astype(np.float32))
+    pfm_io.write_pfm(pc, base + 0.5)
+    assert welch.main([pa, pb]) == 0     # same distribution
+    assert welch.main([pa, pc]) == 1     # significantly different
+
+
+def test_vis_aovs(cornell):
+    cfg = pt_mod.PTConfig(width=32, height=24, mf=2)
+    for kind in ('normals', 'depth', 'prim', 'shader', 'uv'):
+        img = np.asarray(vis_mod.render_aov(cornell, cfg, jnp.uint32(0),
+                                            kind=kind))
+        assert img.shape == (24, 32, 3)
+        assert np.isfinite(img).all()
+        assert img.max() > 0, kind
+
+
+def test_dbor_cascade():
+    fbs = jnp.zeros((splat_mod.N_DBOR, 8, 8, 3))
+    # many dim splats + one firefly
+    n = 256
+    pi = jnp.asarray(np.random.default_rng(2).uniform(0, 8, n).astype(np.float32))
+    pj = jnp.asarray(np.random.default_rng(3).uniform(0, 8, n).astype(np.float32))
+    col = jnp.full((n, 3), 0.5)
+    fbs = splat_mod.splat_dbor(fbs, pi, pj, col)
+    firefly = 100.0
+    fbs = splat_mod.splat_dbor(fbs, jnp.asarray([4.2]), jnp.asarray([4.2]),
+                               jnp.asarray([[firefly, firefly, firefly]]))
+    # cascade preserves total energy
+    total = float(fbs.sum())
+    np.testing.assert_allclose(total, 0.5 * 3 * n + 3 * firefly, rtol=1e-5)
+    # merged image strongly suppresses the isolated firefly
+    merged = splat_mod.dbor_merge(fbs, spp=1)
+    assert float(merged[4, 4, 1]) < firefly * 0.2
+    # but keeps the dense low-energy splats
+    assert float(merged.sum()) > 0.5 * n
