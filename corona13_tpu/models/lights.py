@@ -43,10 +43,13 @@ def eval_vertex(em, roughness, gn, omega_in):
 
 
 def sky_eval(scene, direction, lam):
-    """Environment radiance for escaped rays (reference shader_sky_eval,
-    src/shaders/sky_const.c:45-60: constant spectral radiance; the envmap
-    variant lives in models/envmap.py).  direction: [N, 3]; lam: [N, MF]."""
+    """Environment radiance for escaped rays (reference shader_sky_eval:
+    constant sky_const.c or image-based sky_envmap.c).
+    direction: [N, 3]; lam: [N, MF]."""
     from ..spectral import rgb2spec
+    if scene.has_envmap:
+        from . import envmap as envmap_mod
+        return envmap_mod.eval_radiance(scene.envmap, direction, lam)
     base = scene.sky_mul * rgb2spec.eval_coeff(scene.sky_coeff[None, None, :], lam)
     return jnp.where(scene.sky_kind > 0, base, 0.0)
 

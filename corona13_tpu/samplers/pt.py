@@ -87,7 +87,7 @@ def sample_paths(scene, cfg: PTConfig, sample_idx, pixel_idx):
 # per bounce d: base = 6 + 8*d, [FREE, OMEGA_X, OMEGA_Y, MODE, RR,
 # NEE_LIGHT, NEE_X, NEE_Y]
 N_CAM_DIMS = 6
-N_BOUNCE_DIMS = 8
+N_BOUNCE_DIMS = 10  # 5 extend + 3 area-NEE + 2 env-NEE
 
 
 def psd_dims(max_verts: int) -> int:
@@ -119,11 +119,15 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
                      int(rng.Dim.RUSSIAN_R): 4}
         _nee_slot = {int(rng.Dim.NEE_LIGHT2): 5, int(rng.Dim.NEE_X): 6,
                      int(rng.Dim.NEE_Y): 7}
+        _env_slot = {int(rng.Dim.NEE_X): 8, int(rng.Dim.NEE_Y): 9}
 
         def rnd(dim, salt=0, family='cam'):
             if family == 'cam':
                 return u[:, _cam_slot[int(dim)]]
-            if family == 'nee':
+            if family == 'env':
+                depth = salt - 30
+                slot = _env_slot[int(dim)]
+            elif family == 'nee':
                 depth = salt - 10
                 slot = _nee_slot[int(dim)]
             else:
@@ -231,8 +235,18 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         # for non-connectable env setups)
         missed = alive & ~hit.valid & ~scat
         sky = lights_mod.sky_eval(scene, d, lam)
-        w_sky = _hero_mis(state['pdf_prod'], state['pdf_proj'],
-                          jnp.zeros_like(state['pdf_proj']))
+        if cfg.use_nee and scene.has_envmap:
+            # escaped-ray MIS against envmap NEE (both in solid angle):
+            # our pdf_w = pdf_proj * cos at the vertex the ray left from
+            from ..models import envmap as envmap_mod
+            our_w = state['pdf_proj'] * _lambert(state['prev_n'], d)[..., None]
+            env_w = envmap_mod.pdf(scene.envmap, d)[..., None] * \
+                jnp.broadcast_to(state['prev_connectable'][..., None],
+                                 state['pdf_proj'].shape)
+            w_sky = _hero_mis(state['pdf_prod'], our_w, env_w)
+        else:
+            w_sky = _hero_mis(state['pdf_prod'], state['pdf_proj'],
+                              jnp.zeros_like(state['pdf_proj']))
         w_sky = jax.lax.stop_gradient(
             jnp.where(jnp.isfinite(w_sky), w_sky, 0.0))
         accum_sky = jnp.where(missed[..., None], thr_in * sky * w_sky, 0.0)
@@ -338,6 +352,39 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
                 jnp.where(jnp.isfinite(w_nee), w_nee, 0.0))
             val = jnp.where(jnp.isfinite(val), val, 0.0)
             accum = accum + jnp.where(can[..., None], val * w_nee, 0.0)
+
+        # --- envmap next event estimation (nee.h envmap branch +
+        # sky_envmap.c importance sampling); independent of the area-light
+        # NEE (disjoint targets, separate MIS against bsdf extension)
+        if cfg.use_nee and scene.has_envmap:
+            from ..models import envmap as envmap_mod
+            d_env, pdf_env = envmap_mod.sample(
+                scene.envmap,
+                rnd(rng.Dim.NEE_X, salt=30 + depth, family='env'),
+                rnd(rng.Dim.NEE_Y, salt=30 + depth, family='env'))
+            d_env = jnp.broadcast_to(d_env, x.shape)
+            f_e, pdf_b_e = bsdf_mod.bsdf_eval_pdf(sp, d, d_env,
+                                                  kinds=scene.kinds_used)
+            cos_e = _lambert(sp.n, d_env)
+            can_e = valid & jnp.any(f_e > 0.0, axis=-1) & (pdf_env > 0.0) & \
+                (depth <= cfg.max_verts - 3)
+            blocked_e = occluded(scene.geom, ray_offset(x, d_env), d_env,
+                                 jnp.where(can_e, 1e4, 0.0),
+                                 ignore_prim=hit.prim)
+            can_e = can_e & ~blocked_e
+            nrays = nrays + valid.astype(jnp.int32)
+            le_env = lights_mod.sky_eval(scene, d_env, lam)
+            pdf_env_safe = jnp.where(pdf_env > 0.0, pdf_env, 1.0)
+            efac = (cos_e / pdf_env_safe)[..., None]
+            efac = jnp.where(jnp.isfinite(efac), efac, 0.0)
+            val_e = thr_in * f_e * efac * le_env
+            # MIS vs bsdf extension, both in solid angle
+            w_env = _hero_mis(pdf_prod, pdf_env[..., None],
+                              pdf_b_e * cos_e[..., None])
+            w_env = jax.lax.stop_gradient(
+                jnp.where(jnp.isfinite(w_env), w_env, 0.0))
+            val_e = jnp.where(jnp.isfinite(val_e), val_e, 0.0)
+            accum = accum + jnp.where(can_e[..., None], val_e * w_env, 0.0)
 
         # --- extend: sample bsdf (path_extend, pathspace.c:190-207)
         r1 = rnd(rng.Dim.OMEGA_X, salt=1 + depth, family='ext')

@@ -104,9 +104,17 @@ class Scene:
     sky_kind: jnp.ndarray      # int32
     sky_coeff: jnp.ndarray     # [3] emission spectrum coeffs (const sky)
     sky_mul: jnp.ndarray
+    envmap: 'EnvMap' = None    # lat-long IBL (models/envmap.py)
     # static: BSDF kinds present — absent branches compile away (the
     # runtime analogue of the reference's compile-time module selection)
     kinds_used: tuple = struct.field(pytree_node=False, default=(0, 1, 2))
+    has_envmap: bool = struct.field(pytree_node=False, default=False)
+
+    def with_envmap(self, rgb):
+        """Attach a lat-long RGB radiance image as the environment."""
+        from .models import envmap as envmap_mod
+        return self.replace(envmap=envmap_mod.build(rgb), has_envmap=True,
+                            sky_kind=jnp.int32(SKY_ENVMAP))
 
 
 @dataclasses.dataclass
