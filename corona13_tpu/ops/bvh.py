@@ -60,14 +60,19 @@ def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBVH:
     """Binned-SAH binary BVH over primitive AABBs.
 
     prim_min/prim_max: [P, 3].  Equivalent role to the reference's binned
-    SAH build (qbvhmp.c:93-170) minus the thread-pool parallelism — numpy
-    vectorization over primitives replaces the job queue.
+    SAH build (qbvhmp.c:93-170): the hot path is the native C++ builder
+    (corona13_tpu/native/bvh_build.cc, compiled on first use); this numpy
+    implementation is the reference/fallback.
     """
     p_min = np.asarray(prim_min, np.float32)
     p_max = np.asarray(prim_max, np.float32)
     n = len(p_min)
     if n == 0:
         return _empty_bvh()
+
+    native = _build_bvh_native(p_min, p_max)
+    if native is not None:
+        return native
     cent = 0.5 * (p_min + p_max)
 
     # recursion via explicit stack; children emitted in DFS preorder.
@@ -174,6 +179,41 @@ def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBVH:
                    node_skip=node_skip.astype(np.int32),
                    node_first=node_first, node_right=right_child,
                    leaf_prims=lp, n_prims=n)
+
+
+def _build_bvh_native(p_min: np.ndarray, p_max: np.ndarray) -> FlatBVH | None:
+    """C++ builder fast path (corona13_tpu/native); None -> numpy fallback."""
+    import ctypes
+    from .. import native
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    p_min = np.ascontiguousarray(p_min, np.float32)
+    p_max = np.ascontiguousarray(p_max, np.float32)
+    n_nodes = ctypes.c_int32()
+    n_slots = ctypes.c_int32()
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    h = lib.bvh_build(p_min.ctypes.data_as(fp), p_max.ctypes.data_as(fp),
+                      len(p_min), LEAF_SIZE,
+                      ctypes.byref(n_nodes), ctypes.byref(n_slots))
+    nn, ns = n_nodes.value, n_slots.value
+    node_min = np.empty((nn, 3), np.float32)
+    node_max = np.empty((nn, 3), np.float32)
+    node_skip = np.empty(nn, np.int32)
+    node_first = np.empty(nn, np.int32)
+    node_right = np.empty(nn, np.int32)
+    leaf_prims = np.empty(ns, np.int32)
+    lib.bvh_finish(h, node_min.ctypes.data_as(fp),
+                   node_max.ctypes.data_as(fp),
+                   node_skip.ctypes.data_as(ip),
+                   node_first.ctypes.data_as(ip),
+                   node_right.ctypes.data_as(ip),
+                   leaf_prims.ctypes.data_as(ip))
+    return FlatBVH(node_min=node_min, node_max=node_max,
+                   node_skip=node_skip, node_first=node_first,
+                   node_right=node_right, leaf_prims=leaf_prims,
+                   n_prims=len(p_min))
 
 
 def tri_bounds(tri_vtx: np.ndarray, tri_vtx_t1: np.ndarray | None = None):
