@@ -17,31 +17,37 @@ from .bsdf import ShadingPoint
 from . import lights as lights_mod
 
 
-def _tri_geo(geom, prim, u, v):
-    """Geometric + shading normal and st coords for triangle hits.
+def _tri_geo(geom, slot, u, v):
+    """Geometric + shading normal, st coords, and material id for triangle
+    hits, fetched as TWO contiguous leaf-major row gathers (leaf_data 9 +
+    leaf_shade 17 floats) instead of five scattered per-triangle gathers.
 
     (u, v) use the reference's stored convention; for quad halves they are
     remapped to the sub-triangle barycentrics first (prims.c:310-345):
     half 1 stores (u, v+u) -> bary (u, v); half 2 stores (u+v, v) ->
     bary (u-v, v)."""
-    p = jnp.maximum(prim, 0)
-    e1 = geom.tri_e1[p]
-    e2 = geom.tri_e2[p]
+    sl = jnp.maximum(slot, 0)
+    rows = geom.tri_bvh.leaf_data[sl]     # [N, 9]  v0, e1, e2
+    shade = geom.tri_bvh.leaf_shade[sl]   # [N, 17] vn9, uv6, shader, half
+    e1 = rows[..., 3:6]
+    e2 = rows[..., 6:9]
     gn = normalize(cross(e1, e2))
-    half = geom.tri_quad_half[p]
+    half = shade[..., 16].astype(jnp.int32)
     bu = jnp.where(half == 2, u - v, u)   # weight of corner 2
     bv = jnp.where(half == 1, v - u, v)   # weight of corner 1
     w0 = 1.0 - bu - bv
-    vn = geom.tri_vn[p]  # [N, 3, 3]
-    n = normalize(w0[..., None] * vn[:, 0] + bv[..., None] * vn[:, 1]
-                  + bu[..., None] * vn[:, 2])
-    uvs = geom.tri_uv[p]  # [N, 3, 2]
-    st = w0[..., None] * uvs[:, 0] + bv[..., None] * uvs[:, 1] + bu[..., None] * uvs[:, 2]
+    vn = shade[..., 0:9].reshape(shade.shape[:-1] + (3, 3))
+    n = normalize(w0[..., None] * vn[..., 0, :] + bv[..., None] * vn[..., 1, :]
+                  + bu[..., None] * vn[..., 2, :])
+    uvs = shade[..., 9:15].reshape(shade.shape[:-1] + (3, 2))
+    st = (w0[..., None] * uvs[..., 0, :] + bv[..., None] * uvs[..., 1, :]
+          + bu[..., None] * uvs[..., 2, :])
     # no-uv convention: encoded uv word 0 decodes to (0,0) on every corner ->
     # fall back to raw (u, v) like prims.c:305-308
     has_uv = jnp.any(jnp.abs(uvs) > 0.0, axis=(-2, -1))
     st = jnp.where(has_uv[..., None], st, jnp.stack([u, v], axis=-1))
-    return gn, n, st
+    mat = shade[..., 15].astype(jnp.int32)
+    return gn, n, st, mat
 
 
 def _sphere_geo(geom, local, x):
@@ -107,24 +113,28 @@ def prepare(scene, hit, x, wi, lam) -> ShadingPoint:
     is_sph = (prim >= n_t) & (prim < n_t + n_s)
     is_line = prim >= n_t + n_s
 
-    gn, n, st = _tri_geo(geom, jnp.where(is_tri, prim, 0), hit.u, hit.v)
+    gn, n, st, mat = _tri_geo(geom, hit.slot, hit.u, hit.v)
     if n_s:
         gn_s, n_s_, st_s = _sphere_geo(geom, jnp.where(is_sph, prim - n_t, 0), x)
         gn = jnp.where(is_sph[..., None], gn_s, gn)
         n = jnp.where(is_sph[..., None], n_s_, n)
         st = jnp.where(is_sph[..., None], st_s, st)
+        mat = jnp.where(is_sph, geom.sph_shader[
+            jnp.where(is_sph, prim - n_t, 0)], mat)
     if geom.n_lines:
         gn_l, n_l, st_l = _line_geo(geom, jnp.where(is_line, prim - n_t - n_s, 0),
                                     x, hit.u)
         gn = jnp.where(is_line[..., None], gn_l, gn)
         n = jnp.where(is_line[..., None], n_l, n)
         st = jnp.where(is_line[..., None], st_l, st)
+        mat = jnp.where(is_line, geom.line_shader[
+            jnp.where(is_line, prim - n_t - n_s, 0)], mat)
 
     # inside flag: hit from behind the geometric normal (shader_prepare,
     # shader.c:500: s_inside iff dot(omega_in, gn) > 0)
     inside = dot(wi, gn) > 0.0
 
-    mat = jnp.clip(scene.prim_shader[prim], 0, scene.materials.kind.shape[0] - 1)
+    mat = jnp.clip(mat, 0, scene.materials.kind.shape[0] - 1)
     m = scene.materials
     rd = (m.d_mul[mat, None]
           * rgb2spec.eval_coeff(m.d_coeff[mat][..., None, :], lam))

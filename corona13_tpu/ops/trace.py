@@ -68,9 +68,12 @@ class DeviceBVH:
     plinks: jnp.ndarray      # [n_nodes, 2] i32: left (or -(first+1)), right
     leaf_prims: jnp.ndarray  # [slots] i32 prim ids, padded with -1
     leaf_data: jnp.ndarray   # [slots, D] packed per-prim intersection data
+    leaf_shade: jnp.ndarray  # [slots, 17] vn(9), uv(6), shader, quad_half —
+    #   shading fetches become one contiguous row-gather by hit slot
 
     @classmethod
-    def from_host(cls, b: bvh_mod.FlatBVH, leaf_data: np.ndarray) -> 'DeviceBVH':
+    def from_host(cls, b: bvh_mod.FlatBVH, leaf_data: np.ndarray,
+                  leaf_shade: np.ndarray | None = None) -> 'DeviceBVH':
         packed = np.concatenate([
             b.node_min, b.node_max,
             b.node_skip[:, None].view(np.float32),
@@ -85,11 +88,14 @@ class DeviceBVH:
             np.zeros((len(left), 2), np.float32)], axis=1)
         plinks = np.stack([left.astype(np.int32),
                            b.node_right.astype(np.int32)], axis=1)
+        if leaf_shade is None:
+            leaf_shade = np.zeros((len(b.leaf_prims), 17), np.float32)
         return cls(nodes=jnp.asarray(packed),
                    pnodes=jnp.asarray(ppacked),
                    plinks=jnp.asarray(plinks),
                    leaf_prims=jnp.asarray(b.leaf_prims),
-                   leaf_data=jnp.asarray(leaf_data))
+                   leaf_data=jnp.asarray(leaf_data),
+                   leaf_shade=jnp.asarray(leaf_shade))
 
     @property
     def n_nodes(self):
@@ -177,6 +183,11 @@ def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
         return out.astype(f32)
 
     tri_data = np.concatenate([tri_v[:, 0], e1, e2], axis=1) if T else np.zeros((0, 9), f32)
+    tri_shade = (np.concatenate([
+        tri_vn.reshape(T, 9), tri_uv.reshape(T, 6),
+        tri_shader[:, None].astype(f32),
+        tri_quad_half[:, None].astype(f32)], axis=1)
+        if T else np.zeros((0, 17), f32))
     sph_data = np.concatenate([sph_c, sph_r[:, None]], axis=1) if S else np.zeros((0, 4), f32)
     line_data = np.concatenate([line_vtx[:, 0], line_vtx[:, 1], line_radii],
                                axis=1) if L else np.zeros((0, 8), f32)
@@ -193,7 +204,8 @@ def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
         line_r0=jnp.asarray(line_radii[:, 0]) if L else jnp.zeros((0,)),
         line_r1=jnp.asarray(line_radii[:, 1]) if L else jnp.zeros((0,)),
         line_shader=jnp.asarray(line_shader),
-        tri_bvh=DeviceBVH.from_host(tb, pack(tb, tri_data, 9)),
+        tri_bvh=DeviceBVH.from_host(tb, pack(tb, tri_data, 9),
+                                    pack(tb, tri_shade, 17)),
         sph_bvh=DeviceBVH.from_host(sb, pack(sb, sph_data, 4)),
         line_bvh=DeviceBVH.from_host(lb, pack(lb, line_data, 8)))
 
@@ -205,6 +217,7 @@ class Hit:
     prim: jnp.ndarray   # [N] int32 global prim id (-1 = miss)
     u: jnp.ndarray      # [N] reference uv convention (triangle.h / prims.c)
     v: jnp.ndarray      # [N]
+    slot: jnp.ndarray   # [N] i32 leaf-major slot (triangle hits; -1 else)
 
     @property
     def valid(self):
@@ -295,16 +308,20 @@ def ray_cone_intersect(v0, v1, r0, r1, org, direction):
 
 
 def _traverse(bvh: DeviceBVH, test_leaf, org, inv_dir, t_init, prim_init,
-              u_init, v_init, any_hit=False):
+              u_init, v_init, any_hit=False, extra=None):
     """While-while lockstep traversal of one BVH for the whole wavefront.
 
-    test_leaf(first, t_best, prim_best, u, v) -> updated (t, prim, u, v):
-    intersects the LEAF_SIZE padded candidates at leaf offset ``first``.
+    test_leaf(first, t_best, prim_best, u, v, extra) -> updated
+    (t, prim, u, v, extra): intersects the LEAF_SIZE padded candidates at
+    leaf offset ``first``; ``extra`` is an opaque per-lane i32 carried
+    through (the winning slot for triangle shading).
 
     Inner loop: every lane walks inner nodes (1 packed gather + slab test
     per step) until it parks at a hit leaf or terminates.  Outer loop runs
     the leaf primitive test once per parked front.
     """
+    if extra is None:
+        extra = prim_init
     n_nodes = bvh.n_nodes
     # derive from a traversal input so the carry carries the same varying
     # manual axes as the body outputs under shard_map (see shard_map VMA)
@@ -348,27 +365,30 @@ def _traverse(bvh: DeviceBVH, test_leaf, org, inv_dir, t_init, prim_init,
         return node, parked, t, prim
 
     def outer_cond(state):
-        node, t, prim, u, v = state
+        node, t, prim, u, v, extra = state
         return jnp.any(active_of(node, prim))
 
     def outer_body(state):
-        node, t, prim, u, v = state
+        node, t, prim, u, v, extra = state
         parked0 = node < 0  # all-False, varying like node
         node, parked, _, _ = jax.lax.while_loop(
             walk_cond, walk_body, (node, parked0, t, prim))
         # leaf test for parked lanes
         _, _, skip, first = fetch(node)
-        t2, prim2, u2, v2 = test_leaf(jnp.maximum(first, 0), t, prim, u, v)
+        t2, prim2, u2, v2, e2 = test_leaf(jnp.maximum(first, 0),
+                                          t, prim, u, v, extra)
         t = jnp.where(parked, t2, t)
         prim = jnp.where(parked, prim2, prim)
         u = jnp.where(parked, u2, u)
         v = jnp.where(parked, v2, v)
+        extra = jnp.where(parked, e2, extra)
         node = jnp.where(parked, skip, node)
-        return node, t, prim, u, v
+        return node, t, prim, u, v, extra
 
-    _, t, prim, u, v = jax.lax.while_loop(
-        outer_cond, outer_body, (node0, t_init, prim_init, u_init, v_init))
-    return t, prim, u, v
+    _, t, prim, u, v, extra = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (node0, t_init, prim_init, u_init, v_init, extra))
+    return t, prim, u, v, extra
 
 
 def _inv_dir(direction):
@@ -376,17 +396,21 @@ def _inv_dir(direction):
                            jnp.where(direction < 0, -1e-20, 1e-20), direction)
 
 
-def _closest_select(tt, ok, t, prim, u, v, cand, uu=None, vv=None):
+def _closest_select(tt, ok, t, prim, u, v, cand, uu=None, vv=None,
+                    slot=None, cand_slot=None):
     """Reduce [N, K] candidate hits into the per-lane best."""
     tt = jnp.where(ok, tt, MAX_DIST)
     best = jnp.argmin(tt, axis=-1)
     sel = lambda a: jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
     tbest = sel(tt)
     win = tbest < t
-    return (jnp.where(win, tbest, t),
-            jnp.where(win, sel(cand), prim),
-            jnp.where(win, sel(uu), u) if uu is not None else u,
-            jnp.where(win, sel(vv), v) if vv is not None else v)
+    out = (jnp.where(win, tbest, t),
+           jnp.where(win, sel(cand), prim),
+           jnp.where(win, sel(uu), u) if uu is not None else u,
+           jnp.where(win, sel(vv), v) if vv is not None else v)
+    if slot is None:
+        return out
+    return out + (jnp.where(win, sel(cand_slot), slot),)
 
 
 def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
@@ -414,6 +438,7 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
     prim = zero.astype(jnp.int32) + INVALID_PRIM
     u = zero
     v = zero
+    hslot = prim  # leaf-major slot of the winning triangle hit
     ig = ignore_prim if ignore_prim is not None else prim
     inv_dir = _inv_dir(direction)
     ls = jnp.arange(bvh_mod.LEAF_SIZE)
@@ -421,20 +446,24 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
     if geom.n_tris:
         if _use_pallas(geom.tri_bvh):
             from . import trace_pallas
-            t, prim, u, v = trace_pallas.traverse_tris(
+            t, prim, u, v, hslot = trace_pallas.traverse_tris(
                 geom.tri_bvh.pnodes, geom.tri_bvh.plinks,
                 geom.tri_bvh.leaf_data, geom.tri_bvh.leaf_prims,
                 org, direction, t, ig)
         else:
-            def leaf_tri(first, t, prim, u, v):
-                slot = first[..., None] + ls
-                cand = geom.tri_bvh.leaf_prims[slot]
-                rows = geom.tri_bvh.leaf_data[slot]
+            def leaf_tri(first, t, prim, u, v, hslot):
+                cslot = first[..., None] + ls
+                cand = geom.tri_bvh.leaf_prims[cslot]
+                rows = geom.tri_bvh.leaf_data[cslot]
                 tt, bu, bv, ok = ray_tri_intersect_packed(rows, org, direction)
                 ok &= (cand >= 0) & (tt <= t[..., None]) & (cand != ig[..., None])
-                return _closest_select(tt, ok, t, prim, u, v, cand, bu, bv)
-            t, prim, u, v = _traverse(geom.tri_bvh, leaf_tri, org, inv_dir,
-                                      t, prim, u, v)
+                return _closest_select(
+                    tt, ok, t, prim, u, v, cand, bu, bv,
+                    slot=hslot,
+                    cand_slot=jnp.broadcast_to(cslot, tt.shape))
+            t, prim, u, v, hslot = _traverse(
+                geom.tri_bvh, leaf_tri, org, inv_dir, t, prim, u, v,
+                extra=hslot)
 
     if geom.n_spheres:
         s_off = geom.n_tris
@@ -449,17 +478,17 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
             t, prim, u, v = _closest_select(tt, ok, t, prim, u, v,
                                             jnp.broadcast_to(gid, tt.shape))
         else:
-            def leaf_sph(first, t, prim, u, v):
-                slot = first[..., None] + ls
-                cand = geom.sph_bvh.leaf_prims[slot]
-                rows = geom.sph_bvh.leaf_data[slot]
+            def leaf_sph(first, t, prim, u, v, ex):
+                cslot = first[..., None] + ls
+                cand = geom.sph_bvh.leaf_prims[cslot]
+                rows = geom.sph_bvh.leaf_data[cslot]
                 gid = cand + s_off
                 tt, ok = ray_sphere_intersect(rows[..., 0:3], rows[..., 3],
                                               org, direction)
                 ok &= (cand >= 0) & (tt <= t[..., None]) & (gid != ig[..., None])
-                return _closest_select(tt, ok, t, prim, u, v, gid)
-            t, prim, u, v = _traverse(geom.sph_bvh, leaf_sph, org, inv_dir,
-                                      t, prim, u, v)
+                return _closest_select(tt, ok, t, prim, u, v, gid) + (ex,)
+            t, prim, u, v, _ = _traverse(geom.sph_bvh, leaf_sph, org, inv_dir,
+                                         t, prim, u, v)
 
     if geom.n_lines:
         l_off = geom.n_tris + geom.n_spheres
@@ -473,20 +502,20 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
             t, prim, u, v = _closest_select(tt, ok, t, prim, u, v,
                                             jnp.broadcast_to(gid, tt.shape), y)
         else:
-            def leaf_line(first, t, prim, u, v):
-                slot = first[..., None] + ls
-                cand = geom.line_bvh.leaf_prims[slot]
-                rows = geom.line_bvh.leaf_data[slot]
+            def leaf_line(first, t, prim, u, v, ex):
+                cslot = first[..., None] + ls
+                cand = geom.line_bvh.leaf_prims[cslot]
+                rows = geom.line_bvh.leaf_data[cslot]
                 gid = cand + l_off
                 tt, y, ok = ray_cone_intersect(
                     rows[..., 0:3], rows[..., 3:6], rows[..., 6], rows[..., 7],
                     org, direction)
                 ok &= (cand >= 0) & (tt <= t[..., None]) & (gid != ig[..., None])
-                return _closest_select(tt, ok, t, prim, u, v, gid, y)
-            t, prim, u, v = _traverse(geom.line_bvh, leaf_line, org, inv_dir,
-                                      t, prim, u, v)
+                return _closest_select(tt, ok, t, prim, u, v, gid, y) + (ex,)
+            t, prim, u, v, _ = _traverse(geom.line_bvh, leaf_line, org, inv_dir,
+                                         t, prim, u, v)
 
-    return Hit(t=t, prim=prim, u=u, v=v)
+    return Hit(t=t, prim=prim, u=u, v=v, slot=hslot)
 
 
 def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
@@ -509,28 +538,29 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
     inv_dir = _inv_dir(direction)
     ls = jnp.arange(bvh_mod.LEAF_SIZE)
 
-    def any_hit_reduce(tt, ok, t, prim, u, v):
+    def any_hit_reduce(tt, ok, t, prim, u, v, ex):
         hit_now = jnp.any(ok, axis=-1)
-        return t, jnp.where(prim >= 0, prim, jnp.where(hit_now, 0, -1)), u, v
+        return (t, jnp.where(prim >= 0, prim, jnp.where(hit_now, 0, -1)),
+                u, v, ex)
 
     if geom.n_tris:
         if _use_pallas(geom.tri_bvh):
             from . import trace_pallas
-            _, prim, _, _ = trace_pallas.traverse_tris(
+            _, prim, _, _, _ = trace_pallas.traverse_tris(
                 geom.tri_bvh.pnodes, geom.tri_bvh.plinks,
                 geom.tri_bvh.leaf_data, geom.tri_bvh.leaf_prims,
                 org, direction, t, ig, ig2, any_hit=True)
         else:
-            def leaf_tri(first, t, prim, u, v):
-                slot = first[..., None] + ls
-                cand = geom.tri_bvh.leaf_prims[slot]
-                rows = geom.tri_bvh.leaf_data[slot]
+            def leaf_tri(first, t, prim, u, v, ex):
+                cslot = first[..., None] + ls
+                cand = geom.tri_bvh.leaf_prims[cslot]
+                rows = geom.tri_bvh.leaf_data[cslot]
                 tt, bu, bv, ok = ray_tri_intersect_packed(rows, org, direction)
                 ok &= (cand >= 0) & (tt < t[..., None]) & \
                     (cand != ig[..., None]) & (cand != ig2[..., None])
-                return any_hit_reduce(tt, ok, t, prim, u, v)
-            _, prim, _, _ = _traverse(geom.tri_bvh, leaf_tri, org, inv_dir,
-                                      t, prim, u, v, any_hit=True)
+                return any_hit_reduce(tt, ok, t, prim, u, v, ex)
+            _, prim, _, _, _ = _traverse(geom.tri_bvh, leaf_tri, org, inv_dir,
+                                         t, prim, u, v, any_hit=True)
 
     if geom.n_spheres:
         s_off = geom.n_tris
@@ -543,18 +573,18 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
             prim = jnp.where(prim >= 0, prim,
                              jnp.where(jnp.any(ok, axis=-1), 0, -1))
         else:
-            def leaf_sph(first, t, prim, u, v):
-                slot = first[..., None] + ls
-                cand = geom.sph_bvh.leaf_prims[slot]
-                rows = geom.sph_bvh.leaf_data[slot]
+            def leaf_sph(first, t, prim, u, v, ex):
+                cslot = first[..., None] + ls
+                cand = geom.sph_bvh.leaf_prims[cslot]
+                rows = geom.sph_bvh.leaf_data[cslot]
                 gid = cand + s_off
                 tt, ok = ray_sphere_intersect(rows[..., 0:3], rows[..., 3],
                                               org, direction)
                 ok &= (cand >= 0) & (tt < t[..., None]) & \
                     (gid != ig[..., None]) & (gid != ig2[..., None])
-                return any_hit_reduce(tt, ok, t, prim, u, v)
-            _, prim, _, _ = _traverse(geom.sph_bvh, leaf_sph, org, inv_dir,
-                                      t, prim, u, v, any_hit=True)
+                return any_hit_reduce(tt, ok, t, prim, u, v, ex)
+            _, prim, _, _, _ = _traverse(geom.sph_bvh, leaf_sph, org, inv_dir,
+                                         t, prim, u, v, any_hit=True)
 
     if geom.n_lines:
         l_off = geom.n_tris + geom.n_spheres
@@ -568,18 +598,19 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
             prim = jnp.where(prim >= 0, prim,
                              jnp.where(jnp.any(ok, axis=-1), 0, -1))
         else:
-            def leaf_line(first, t, prim, u, v):
-                slot = first[..., None] + ls
-                cand = geom.line_bvh.leaf_prims[slot]
-                rows = geom.line_bvh.leaf_data[slot]
+            def leaf_line(first, t, prim, u, v, ex):
+                cslot = first[..., None] + ls
+                cand = geom.line_bvh.leaf_prims[cslot]
+                rows = geom.line_bvh.leaf_data[cslot]
                 gid = cand + l_off
                 tt, y, ok = ray_cone_intersect(
                     rows[..., 0:3], rows[..., 3:6], rows[..., 6], rows[..., 7],
                     org, direction)
                 ok &= (cand >= 0) & (tt < t[..., None]) & \
                     (gid != ig[..., None]) & (gid != ig2[..., None])
-                return any_hit_reduce(tt, ok, t, prim, u, v)
-            _, prim, _, _ = _traverse(geom.line_bvh, leaf_line, org, inv_dir,
-                                      t, prim, u, v, any_hit=True)
+                return any_hit_reduce(tt, ok, t, prim, u, v, ex)
+            _, prim, _, _, _ = _traverse(geom.line_bvh, leaf_line, org,
+                                         inv_dir, t, prim, u, v,
+                                         any_hit=True)
 
     return prim >= 0

@@ -46,7 +46,7 @@ VMEM_BYTES_LIMIT = 10 * 1024 * 1024
 def _kernel(nodes_ref, links_ref, leaf_data_ref, leaf_prims_ref,
             ox_ref, oy_ref, oz_ref, ix_ref, iy_ref, iz_ref,
             dx_ref, dy_ref, dz_ref, t0_ref, ig_ref, ig2_ref,
-            t_out, prim_out, u_out, v_out,
+            t_out, prim_out, u_out, v_out, slot_out,
             stack_ref, *, any_hit: bool):
     ox = ox_ref[:].reshape(SUB, LANE)
     oy = oy_ref[:].reshape(SUB, LANE)
@@ -64,10 +64,11 @@ def _kernel(nodes_ref, links_ref, leaf_data_ref, leaf_prims_ref,
     prim = jnp.full((SUB, LANE), -1, jnp.int32)
     u = jnp.zeros((SUB, LANE), jnp.float32)
     v = jnp.zeros((SUB, LANE), jnp.float32)
+    slot = jnp.full((SUB, LANE), -1, jnp.int32)  # leaf-major slot of the hit
 
     stack_ref[0] = 0  # root
 
-    def leaf_test(leaf, t, prim, u, v):
+    def leaf_test(leaf, t, prim, u, v, slot):
         rows = leaf_data_ref[leaf]                       # [LEAF * 9]
         cand = leaf_prims_ref[leaf]                      # [LEAF]
         for k in range(LEAF):
@@ -98,17 +99,19 @@ def _kernel(nodes_ref, links_ref, leaf_data_ref, leaf_prims_ref,
             prim = jnp.where(ok, ck, prim)
             u = jnp.where(ok, bu, u)
             v = jnp.where(ok, bv, v)
-        return t, prim, u, v
+            if not any_hit:  # shadow rays don't shade: skip slot tracking
+                slot = jnp.where(ok, leaf * LEAF + k, slot)
+        return t, prim, u, v, slot
 
     def cond(carry):
-        sp, t, prim, u, v = carry
+        sp, t, prim, u, v, slot = carry
         live = sp > 0
         if any_hit:
             live = live & ~jnp.all(prim >= 0)
         return live
 
     def body(carry):
-        sp, t, prim, u, v = carry
+        sp, t, prim, u, v, slot = carry
         node = stack_ref[sp - 1]
         row = nodes_ref[node]                            # [8]
         # slab test against current best t
@@ -133,11 +136,12 @@ def _kernel(nodes_ref, links_ref, leaf_data_ref, leaf_prims_ref,
         is_leaf = left < 0
         any_ray = n_hit > 0
 
-        t, prim, u, v = jax.lax.cond(
+        t, prim, u, v, slot = jax.lax.cond(
             is_leaf & any_ray,
-            lambda t, prim, u, v: leaf_test(-left - 1, t, prim, u, v),
-            lambda t, prim, u, v: (t, prim, u, v),
-            t, prim, u, v)
+            lambda t, prim, u, v, slot: leaf_test(-left - 1, t, prim, u, v,
+                                                  slot),
+            lambda t, prim, u, v, slot: (t, prim, u, v, slot),
+            t, prim, u, v, slot)
 
         do_push = any_ray & ~is_leaf
 
@@ -147,15 +151,16 @@ def _kernel(nodes_ref, links_ref, leaf_data_ref, leaf_prims_ref,
             stack_ref[sp] = left
 
         sp = jnp.where(do_push, sp + 1, sp - 1)
-        return sp, t, prim, u, v
+        return sp, t, prim, u, v, slot
 
-    _, t, prim, u, v = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), t, prim, u, v))
+    _, t, prim, u, v, slot = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), t, prim, u, v, slot))
 
     t_out[:] = t.reshape(TILE)
     prim_out[:] = prim.reshape(TILE)
     u_out[:] = u.reshape(TILE)
     v_out[:] = v.reshape(TILE)
+    slot_out[:] = slot.reshape(TILE)
 
 
 def _pad(x, n_pad, fill):
@@ -203,7 +208,7 @@ def traverse_tris(pnodes, plinks, leaf_data, leaf_prims, org, direction, t_init,
         + [pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
            for _ in range(12)],
         out_specs=[pl.BlockSpec((TILE,), lambda i: (i,),
-                                memory_space=pltpu.VMEM) for _ in range(4)],
+                                memory_space=pltpu.VMEM) for _ in range(5)],
         scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
     )
     out_shape = [
@@ -211,14 +216,15 @@ def traverse_tris(pnodes, plinks, leaf_data, leaf_prims, org, direction, t_init,
         jax.ShapeDtypeStruct((n + n_pad,), jnp.int32),
         jax.ShapeDtypeStruct((n + n_pad,), jnp.float32),
         jax.ShapeDtypeStruct((n + n_pad,), jnp.float32),
+        jax.ShapeDtypeStruct((n + n_pad,), jnp.int32),
     ]
-    t, prim, u, v = pl.pallas_call(
+    t, prim, u, v, slot = pl.pallas_call(
         functools.partial(_kernel, any_hit=any_hit),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(pnodes, plinks, leaf_data, leaf_prims, *args)
-    return t[:n], prim[:n], u[:n], v[:n]
+    return t[:n], prim[:n], u[:n], v[:n], slot[:n]
 
 
 def fits_vmem(bvh) -> bool:

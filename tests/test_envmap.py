@@ -67,7 +67,7 @@ def test_env_nee_matches_pt():
     cfg_pt = pt_mod.PTConfig(width=32, height=24, max_verts=4, mf=2,
                              use_nee=False)
     a = render_mod.render(sc, cfg_nee, spp=64).image_xyz
-    b = render_mod.render(sc, cfg_pt, spp=512, batch=128).image_xyz
+    b = render_mod.render(sc, cfg_pt, spp=256, batch=128).image_xyz
     # compare on the sphere region (sun lighting via NEE vs lucky hits)
     ya = a[8:16, 10:22, 1].mean()
     yb = b[8:16, 10:22, 1].mean()

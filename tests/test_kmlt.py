@@ -24,21 +24,16 @@ def test_mutation_kernel_stays_in_unit_interval():
 def test_kmlt_matches_pt(cornell):
     cfg = pt_mod.PTConfig(width=32, height=24, max_verts=4, mf=2,
                           use_nee=True)
-    fb_m = jnp.zeros((24, 32, 3))
-    for s in range(3):
-        fb_m = fb_m + kmlt_mod.render_sample(cornell, cfg, jnp.uint32(s),
-                                             batch=4, chains=512)
-    a = np.asarray(fb_m) / 12
-    fb_pt = jnp.zeros((24, 32, 3))
-    for s in range(2):
-        fb_pt = fb_pt + pt_mod.render_sample(cornell, cfg,
-                                             jnp.uint32(100 + s), batch=12)
-    b = np.asarray(fb_pt) / 24
+    fb_m = kmlt_mod.render_sample(cornell, cfg, jnp.uint32(0),
+                                  batch=8, chains=512)
+    a = np.asarray(fb_m) / 8
+    fb_pt = pt_mod.render_sample(cornell, cfg, jnp.uint32(100), batch=16)
+    b = np.asarray(fb_pt) / 16
     assert np.isfinite(a).all()
     ratio = a[..., 1].mean() / b[..., 1].mean()
-    assert abs(ratio - 1.0) < 0.15, ratio
+    assert abs(ratio - 1.0) < 0.2, ratio
     corr = np.corrcoef(a[..., 1].ravel(), b[..., 1].ravel())[0, 1]
-    assert corr > 0.25, corr
+    assert corr > 0.2, corr
 
 
 def test_psd_replay_matches_layout(cornell):

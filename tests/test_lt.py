@@ -13,18 +13,18 @@ def test_lt_matches_pt(cornell):
     cfg = pt_mod.PTConfig(width=48, height=32, max_verts=4, mf=2,
                           use_nee=False)
     fb_lt = jnp.zeros((32, 48, 3))
-    for s in range(16):
-        fb_lt = fb_lt + lt_mod.render_sample(cornell, cfg, jnp.uint32(s),
-                                             batch=4)
-    a = np.asarray(fb_lt) / (16 * 4)
-    fb_pt = jnp.zeros((32, 48, 3))
     for s in range(4):
+        fb_lt = fb_lt + lt_mod.render_sample(cornell, cfg, jnp.uint32(s),
+                                             batch=8)
+    a = np.asarray(fb_lt) / (4 * 8)
+    fb_pt = jnp.zeros((32, 48, 3))
+    for s in range(2):
         fb_pt = fb_pt + pt_mod.render_sample(cornell, cfg,
                                              jnp.uint32(100 + s), batch=24)
-    b = np.asarray(fb_pt) / (4 * 24)
+    b = np.asarray(fb_pt) / (2 * 24)
     assert np.isfinite(a).all()
     ratio = a[..., 1].mean() / b[..., 1].mean()
-    assert abs(ratio - 1.0) < 0.08, ratio
+    assert abs(ratio - 1.0) < 0.12, ratio
     # images correlate spatially (same scene structure)
     corr = np.corrcoef(a[..., 1].ravel(), b[..., 1].ravel())[0, 1]
     assert corr > 0.4, corr

@@ -15,10 +15,10 @@ def _cpus():
     return jax.devices('cpu')
 
 
-@pytest.mark.skipif(len(jax.devices('cpu')) < 8, reason='needs 8 host devices')
+@pytest.mark.skipif(len(jax.devices('cpu')) < 4, reason='needs 4 host devices')
 def test_sharded_matches_single(cornell):
-    cfg = pt_mod.PTConfig(width=32, height=16, max_verts=4, mf=2)
-    mesh = shard.make_mesh(n_sp=2, n_px=4, devices=_cpus())
+    cfg = pt_mod.PTConfig(width=16, height=8, max_verts=3, mf=1)
+    mesh = shard.make_mesh(n_sp=2, n_px=2, devices=_cpus())
     fb_sharded = shard.render_samples_sharded(cornell, cfg, mesh, 0)
     # counter-based RNG: the same (pixel, sample) pairs give the same paths
     a = pt_mod.render_sample(cornell, cfg, jnp.uint32(0))
@@ -27,11 +27,11 @@ def test_sharded_matches_single(cornell):
                                rtol=2e-4, atol=1e-5)
 
 
-@pytest.mark.skipif(len(jax.devices('cpu')) < 8, reason='needs 8 host devices')
+@pytest.mark.skipif(len(jax.devices('cpu')) < 4, reason='needs 4 host devices')
 def test_train_step_runs(cornell):
-    cfg = pt_mod.PTConfig(width=32, height=16, max_verts=3, mf=2)
-    mesh = shard.make_mesh(n_sp=2, n_px=4, devices=_cpus())
-    target = jnp.zeros((16, 32, 3))
+    cfg = pt_mod.PTConfig(width=16, height=8, max_verts=3, mf=1)
+    mesh = shard.make_mesh(n_sp=2, n_px=2, devices=_cpus())
+    target = jnp.zeros((8, 16, 3))
     theta = {'d_mul': jnp.float32(1.0), 'e_mul': jnp.float32(1.0)}
     loss, grads = shard.train_step(cornell, cfg, mesh, target, theta)
     assert np.isfinite(float(loss))

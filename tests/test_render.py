@@ -34,10 +34,10 @@ def test_pt_vs_ptdl_agree(cornell):
                              use_nee=False)
     cfg_dl = pt_mod.PTConfig(width=48, height=32, max_verts=4, mf=4,
                              use_nee=True)
-    a = render_mod.render(cornell, cfg_pt, spp=160).image_xyz
-    b = render_mod.render(cornell, cfg_dl, spp=48).image_xyz
+    a = render_mod.render(cornell, cfg_pt, spp=96, batch=96).image_xyz
+    b = render_mod.render(cornell, cfg_dl, spp=32, batch=32).image_xyz
     ma, mb = a.mean(), b.mean()
-    assert abs(ma - mb) / max(mb, 1e-9) < 0.06, (ma, mb)
+    assert abs(ma - mb) / max(mb, 1e-9) < 0.08, (ma, mb)
 
 
 def test_furnace():
@@ -49,8 +49,8 @@ def test_furnace():
                           use_nee=False, rr_start=99)
     with_s = testing.furnace_scene(albedo=1.0, emission=1.0)
     no_s = testing.furnace_scene(albedo=1.0, emission=1.0, sphere=False)
-    a = render_mod.render(with_s, cfg, spp=48).image_xyz[..., 1]
-    b = render_mod.render(no_s, cfg, spp=48).image_xyz[..., 1]
+    a = render_mod.render(with_s, cfg, spp=32).image_xyz[..., 1]
+    b = render_mod.render(no_s, cfg, spp=32).image_xyz[..., 1]
     center_a = a[10:14, 14:18].mean()
     center_b = b[10:14, 14:18].mean()
     assert center_b > 0
@@ -58,7 +58,7 @@ def test_furnace():
 
     # absorption sanity: albedo 0.5 -> sphere = half the sky radiance
     half = testing.furnace_scene(albedo=0.5, emission=1.0)
-    c = render_mod.render(half, cfg, spp=48).image_xyz[..., 1]
+    c = render_mod.render(half, cfg, spp=32).image_xyz[..., 1]
     center_c = c[10:14, 14:18].mean()
     assert abs(center_c - 0.5 * center_b) / center_b < 0.03, (center_c, center_b)
 
@@ -67,9 +67,9 @@ def test_mf_lanes_consistent(cornell):
     """MF=1 and MF=4 estimate the same image (hero MIS correctness)."""
     cfg1 = pt_mod.PTConfig(width=32, height=24, max_verts=4, mf=1)
     cfg4 = pt_mod.PTConfig(width=32, height=24, max_verts=4, mf=4)
-    a = render_mod.render(cornell, cfg1, spp=128).image_xyz
-    b = render_mod.render(cornell, cfg4, spp=32).image_xyz
-    assert abs(a.mean() - b.mean()) / b.mean() < 0.08
+    a = render_mod.render(cornell, cfg1, spp=64, batch=64).image_xyz
+    b = render_mod.render(cornell, cfg4, spp=16, batch=16).image_xyz
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.1
 
 
 def test_determinism(cornell):
