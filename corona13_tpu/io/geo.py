@@ -271,3 +271,53 @@ def save_geo(path: str, tri_vtx: np.ndarray, tri_ns: np.ndarray | None = None,
         f.write(primids.astype('<u8').tobytes())
         f.write(vtxidx.astype('<u4').tobytes())
         f.write(vdata.astype('<u4').tobytes())
+
+
+def write_geo(path: str, tri_vtx: np.ndarray, tri_ns: np.ndarray | None = None,
+              tri_uv: np.ndarray | None = None) -> None:
+    """Write a triangle mesh in the reference binary .geo format
+    (inverse of :func:`load_geo`; the analogue of tools/geo/obj2geo.c's
+    output stage).  tri_vtx [T, 3, 3]; tri_ns optional [T, 3, 3] shading
+    normals (face normals when omitted); tri_uv optional [T, 3, 2]."""
+    tri_vtx = np.asarray(tri_vtx, np.float32)
+    t = len(tri_vtx)
+    if tri_ns is None:
+        gn = np.cross(tri_vtx[:, 1] - tri_vtx[:, 0],
+                      tri_vtx[:, 2] - tri_vtx[:, 0])
+        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        tri_ns = np.repeat(gn[:, None, :], 3, axis=1)
+    tri_ns = np.asarray(tri_ns, np.float32)
+
+    # primid bitfield: vi (bits 32..59), mb=0 (60), vcnt=TRI (61..63)
+    vi = (np.arange(t, dtype=np.uint64) * np.uint64(3))
+    primids = ((vi << np.uint64(32))
+               | (np.uint64(PRIM_TRI) << np.uint64(61)))
+
+    # vertex index table: {vertex id, encoded uv}
+    n_vtx = 3 * t
+    vidx = np.zeros((n_vtx, 2), np.uint32)
+    vidx[:, 0] = np.arange(n_vtx, dtype=np.uint32)
+    if tri_uv is not None:
+        vidx[:, 1] = encode_uv(np.asarray(tri_uv, np.float32).reshape(-1, 2))
+
+    # vertices: {float3 pos, u32 oct normal}
+    pos = tri_vtx.reshape(-1, 3)
+    pay = encode_oct_normal(tri_ns.reshape(-1, 3))
+    vbytes = np.zeros((n_vtx, 16), np.uint8)
+    vbytes[:, :12] = pos.astype('<f4').view(np.uint8).reshape(n_vtx, 12)
+    vbytes[:, 12:] = pay.astype('<u4').view(np.uint8).reshape(n_vtx, 4)
+
+    vtxidx_off = 32 + 8 * t
+    vertex_off = vtxidx_off + 8 * n_vtx
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<iiQQQ', GEO_MAGIC, GEO_VERSION, t,
+                            vtxidx_off, vertex_off))
+        f.write(primids.astype('<u8').tobytes())
+        f.write(vidx.astype('<u4').tobytes())
+        f.write(vbytes.tobytes())
+
+
+def encode_uv(uv: np.ndarray) -> np.ndarray:
+    """Two texture coords -> packed half2 u32 (inverse of decode_uv)."""
+    h = np.asarray(uv, np.float16).view(np.uint16).astype(np.uint32)
+    return (h[..., 0] | (h[..., 1] << np.uint32(16))).astype(np.uint32)

@@ -83,3 +83,22 @@ def test_dbor_cascade():
     assert float(merged[4, 4, 1]) < firefly * 0.2
     # but keeps the dense low-energy splats
     assert float(merged.sum()) > 0.5 * n
+
+def test_obj2geo_round_trip(tmp_path):
+    from corona13_tpu.io import geo as geo_io
+    from corona13_tpu.tools import obj2geo
+    obj = tmp_path / 'c.obj'
+    obj.write_text('\n'.join(
+        ['v -1 -1 -1', 'v 1 -1 -1', 'v 1 1 -1', 'v -1 1 -1',
+         'v -1 -1 1', 'v 1 -1 1', 'v 1 1 1', 'v -1 1 1',
+         'f 1 2 3 4', 'f 5 8 7 6', 'f 1 5 6 2',
+         'f 2 6 7 3', 'f 3 7 8 4', 'f 4 8 5 1']))
+    out = str(tmp_path / 'c.geo')
+    assert obj2geo.main([str(obj), out]) == 0
+    g = geo_io.load_geo(out)
+    assert len(g.tri_vtx) == 12
+    assert abs(g.tri_vtx.min() + 1) < 1e-5 and abs(g.tri_vtx.max() - 1) < 1e-5
+    gn = np.cross(g.tri_vtx[:, 1] - g.tri_vtx[:, 0],
+                  g.tri_vtx[:, 2] - g.tri_vtx[:, 0])
+    gn /= np.linalg.norm(gn, axis=-1, keepdims=True)
+    assert np.abs((g.tri_ns * gn[:, None, :]).sum(-1) - 1).max() < 1e-3
