@@ -34,6 +34,10 @@ from ..utils.math import dot, normalize, build_onb, from_frame, to_frame
 DIFFUSE = 0
 DIELECTRIC = 1   # smooth+rough GGX dielectric, spectral Cauchy IOR
 METAL = 2        # conductor with spectral complex fresnel
+NULL = 3         # pass-through volume boundary (medium proxy shapes —
+#   the analogue of hitting a shape whose shader is a pure medium like
+#   medium_hete: no surface interaction, the ray continues straight and
+#   only the interior tracking changes)
 
 # vertex mode bits (subset of reference pathspace.h:57-72)
 MODE_ABSORB = 0
@@ -445,6 +449,13 @@ def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode, kinds=ALL_KINDS):
         w = jnp.where(is_m[..., None], w_m, w)
         m_mode = jnp.where(spec_m, MODE_SPECULAR, MODE_GLOSSY) | MODE_REFLECT
         mode = jnp.where(is_m, m_mode, mode)
+
+    if NULL in kinds:
+        is_n = sp.kind == NULL
+        wo = jnp.where(is_n[..., None], wi, wo)
+        pdf = jnp.where(is_n[..., None], 1.0, pdf)
+        w = jnp.where(is_n[..., None], 1.0, w)
+        mode = jnp.where(is_n, MODE_SPECULAR | MODE_TRANSMIT, mode)
 
     mode = jnp.where(jnp.any(w > 0.0, axis=-1), mode, MODE_ABSORB)
     return wo, pdf, w, mode.astype(jnp.int32)

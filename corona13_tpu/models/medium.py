@@ -78,6 +78,32 @@ def sample_dist(materials, med, lam, t_hit, rnd):
     return scatter, dist, w
 
 
+def sample_dist_scene(scene, med, lam, org, w, t_hit, rnd):
+    """Scene-level free-flight sampling: homogeneous material media plus
+    the heterogeneous grid (scene.vol) when present.  Same contract as
+    :func:`sample_dist`; ``org``/``w`` locate the ray for grid marching."""
+    scat, dist, wgt = sample_dist(scene.materials, med, lam, t_hit, rnd)
+    if scene.has_hete:
+        from . import medium_hete
+        in_h = med == scene.vol.mat_id
+        s2, d2, w2 = medium_hete.sample_dist(scene.vol, org, w, t_hit, rnd)
+        scat = jnp.where(in_h, s2, scat)
+        dist = jnp.where(in_h, d2, dist)
+        wgt = jnp.where(in_h[..., None], w2[..., None], wgt)
+    return scat, dist, wgt
+
+
+def transmittance_scene(scene, med, lam, org, w, dist):
+    """Scene-level transmittance along [0, dist] from org."""
+    tr = transmittance(scene.materials, med, lam, dist)
+    if scene.has_hete:
+        from . import medium_hete
+        in_h = med == scene.vol.mat_id
+        t2 = medium_hete.transmittance(scene.vol, org, w, dist)
+        tr = jnp.where(in_h[..., None], t2[..., None], tr)
+    return tr
+
+
 def hg_phase(g, cos_t):
     """Henyey-Greenstein phase function value (1/sr)."""
     denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-8)

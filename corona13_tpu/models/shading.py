@@ -147,6 +147,28 @@ def prepare(scene, hit, x, wi, lam) -> ShadingPoint:
     em = m.e_mul[mat, None] * rgb2spec.eval_coeff(m.e_coeff[mat][..., None, :], lam)
     rough = m.roughness[mat]
 
+    if scene.has_textures:
+        # image texture fetch (src/shaders/texture.c + texture.h): nearest
+        # texel of the spectral-coefficient atlas at the st coords,
+        # evaluated at the path wavelengths
+        ti = m.tex_idx[mat]
+        has_t = ti >= 0
+        tis = jnp.maximum(ti, 0)
+        dims = scene.tex_dims[tis]                    # [N, 2] (h, w)
+        tx = jnp.clip((st[..., 0] % 1.0) * dims[..., 1], 0,
+                      dims[..., 1] - 1).astype(jnp.int32)
+        ty = jnp.clip((st[..., 1] % 1.0) * dims[..., 0], 0,
+                      dims[..., 0] - 1).astype(jnp.int32)
+        texel = scene.tex_atlas[tis, ty, tx]          # [N, 4] coeffs + mul
+        val = (m.tex_mul[mat] * texel[..., 3])[..., None] * \
+            rgb2spec.eval_coeff(texel[..., None, :3], lam)
+        slot = m.tex_slot[mat]
+        rd = jnp.where((has_t & (slot == 0))[..., None],
+                       jnp.clip(val, 0.0, 1.0), rd)
+        rg = jnp.where((has_t & (slot == 1))[..., None],
+                       jnp.clip(val, 0.0, 1.0), rg)
+        em = jnp.where((has_t & (slot == 2))[..., None], val, em)
+
     # dielectric spectral IOR via Cauchy-from-Abbe (spectrum.h:40-63);
     # eta_ratio = n1/n2 along propagation: entering -> 1/eta, exiting -> eta
     # (single-boundary approximation of the reference's nested media stack)
@@ -158,11 +180,16 @@ def prepare(scene, hit, x, wi, lam) -> ShadingPoint:
     rg = jnp.where(valid[..., None], rg, 0.0)
     em = jnp.where(valid[..., None], em, 0.0)
 
+    # conductor spectral complex IOR (metal <name> measured tables,
+    # spectral/fresnel_data; the analogue of src/shaders/fresnel.h rows)
+    from ..spectral import fresnel_data
+    f_n, f_k = fresnel_data.eval_nk(m.fres_n[mat], m.fres_k[mat], lam)
+
     return ShadingPoint(
         kind=jnp.where(valid, m.kind[mat], -1),
         rd=rd, rg=rg, em=em, roughness=rough,
         eta_ratio=eta_ratio,
-        fresnel_eta=jnp.ones_like(eta), fresnel_k=jnp.zeros_like(eta),
+        fresnel_eta=f_n, fresnel_k=f_k,
         n=n, gn=gn, inside=inside)
 
 

@@ -193,8 +193,8 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         # shader_vol_sample step, pathspace.c:697-740 + shader.c:77-106)
         if cfg.media:
             r_free = rnd(rng.Dim.FREE_PATH, salt=1 + depth, family='ext')
-            scat, vdist, w_med = medium_mod.sample_dist(
-                scene.materials, state['in_medium'], lam, hit.t, r_free)
+            scat, vdist, w_med = medium_mod.sample_dist_scene(
+                scene, state['in_medium'], lam, org, d, hit.t, r_free)
             scat = scat & alive
             w_med = jnp.where(jnp.isfinite(w_med), w_med, 0.0)
             thr_in = state['thr'] * jnp.where(alive[..., None], w_med, 1.0)
@@ -225,6 +225,17 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             tr_pdf = jnp.exp(-st_med * d_eff[..., None])
             pdf_area = jnp.where(scat[..., None], st_med * tr_pdf,
                                  pdf_area * tr_pdf)
+            if scene.has_hete:
+                # scalar (spectrally flat) extinction: the per-lane pdf
+                # factor is constant across lanes and cancels in the
+                # normalized hero-MIS products — carry 1 instead of
+                # re-marching the grid for mu_t * T
+                in_h = state['in_medium'] == scene.vol.mat_id
+                pdf_area = jnp.where((in_h & scat)[..., None], 1.0,
+                                     pdf_area)
+                pdf_area = jnp.where((in_h & ~scat)[..., None],
+                                     state['pdf_proj'] * g[..., None],
+                                     pdf_area)
         # overflow guard: a non-finite pdf on one lane would poison the
         # hero-MIS weights (and leak NaN into gradients via 0-cotangent
         # products even on masked lanes)
@@ -340,10 +351,10 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             val = thr_in * f * gfac * l_em
             if cfg.media:
                 # transmittance of the current interior along the shadow
-                # segment (homogeneous; boundary crossings are blocked by
-                # path_visible semantics anyway)
-                tr_nee = medium_mod.transmittance(
-                    scene.materials, state['in_medium'], lam, dist)
+                # segment (homogeneous or grid; boundary crossings are
+                # blocked by path_visible semantics anyway)
+                tr_nee = medium_mod.transmittance_scene(
+                    scene, state['in_medium'], lam, x_nee, wo, dist)
                 val = val * tr_nee
             # MIS vs bsdf extension (ptdl.c:141-145): pdfs in area measure
             pdf_ext_area = pdf_bsdf_proj * g_nee[..., None]

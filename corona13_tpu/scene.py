@@ -25,6 +25,7 @@ from flax import struct
 from .io import nra2 as nra2_io
 from .io import geo as geo_io
 from .io import cam as cam_io
+from .spectral import fresnel_data
 from .ops import bvh as bvh_mod
 from .ops.trace import make_device_geometry
 from .spectral import rgb2spec
@@ -35,7 +36,7 @@ SKY_CONST = 1
 SKY_CLOUDY = 2
 SKY_ENVMAP = 3
 
-from .models.bsdf import DIFFUSE, DIELECTRIC, METAL
+from .models.bsdf import DIFFUSE, DIELECTRIC, METAL, NULL
 
 
 @struct.dataclass
@@ -60,6 +61,14 @@ class MaterialTable:
     med_mus_mul: jnp.ndarray   # [M]
     med_g: jnp.ndarray         # [M] HG mean cosine
     med_enabled: jnp.ndarray   # [M] bool
+    # image textures (the `texture <slot> <file.fb|.pfm> [mul]` shader,
+    # src/shaders/texture.c): index into the scene texture atlas, -1 = none
+    tex_idx: jnp.ndarray       # [M] int32
+    tex_slot: jnp.ndarray      # [M] int32: 0=d 1=g 2=e
+    tex_mul: jnp.ndarray       # [M]
+    # measured conductor ior rows (spectral/fresnel_data, metal <name>)
+    fres_n: jnp.ndarray        # [M, 7]
+    fres_k: jnp.ndarray        # [M, 7]
 
 
 @struct.dataclass
@@ -105,10 +114,17 @@ class Scene:
     sky_coeff: jnp.ndarray     # [3] emission spectrum coeffs (const sky)
     sky_mul: jnp.ndarray
     envmap: 'EnvMap' = None    # lat-long IBL (models/envmap.py)
+    vol: 'VolGrid' = None      # heterogeneous medium grid (medium_hete)
+    # texture atlas: spectral coefficient images [n_tex, TH, TW, 3]
+    # (uniform padded size) + per-texture true dims
+    tex_atlas: jnp.ndarray = None
+    tex_dims: jnp.ndarray = None   # [n_tex, 2] (h, w)
     # static: BSDF kinds present — absent branches compile away (the
     # runtime analogue of the reference's compile-time module selection)
     kinds_used: tuple = struct.field(pytree_node=False, default=(0, 1, 2))
     has_envmap: bool = struct.field(pytree_node=False, default=False)
+    has_hete: bool = struct.field(pytree_node=False, default=False)
+    has_textures: bool = struct.field(pytree_node=False, default=False)
 
     def with_envmap(self, rgb):
         """Attach a lat-long RGB radiance image as the environment."""
@@ -132,6 +148,15 @@ class _ResolvedMat:
     med_g: float = 0.0
     med_enabled: bool = False
     emissive_L: float = 0.0    # scalar brightness for the light CDF
+    # heterogeneous medium (medium_hete <g0> <g1> <s_s> <s_t> <s_e> <file>)
+    hete_file: str = ''
+    hete_params: tuple = ()    # (g0, g1, sigma_s, sigma_t, sigma_e)
+    # image texture (texture <slot> <file> [mul])
+    tex_file: str = ''
+    tex_slot: int = 0
+    tex_mul: float = 1.0
+    # conductor ior table name (metal <name>, src/shaders/metal.c)
+    metal_name: str = 'default'
 
 
 def _resolve_materials(desc: nra2_io.SceneDesc) -> list[_ResolvedMat]:
@@ -182,12 +207,36 @@ def _apply_shader(desc, idx, sh, m: _ResolvedMat, is_host: bool):
             pass
     elif name == 'metal' or name == 'mmetal':
         m.kind = METAL
+        if a:
+            m.metal_name = a[0]
         if m.g_rgb == (0.0, 0.0, 0.0):
             m.g_rgb = (1.0, 1.0, 1.0)
     elif name in ('medium_rgb', 'medium_poe'):
         m.med_mfp_rgb = tuple(float(x) for x in a[0:3])
         m.med_g = float(a[3]) if len(a) > 3 else 0.0
         m.med_enabled = True
+    elif name == 'medium_hete':
+        # medium_hete <g0> <g1> <sigma_s> <sigma_t> <sigma_e> <vol file>
+        # (src/shaders/medium_hete.c init); used directly as a shape
+        # shader it is a pass-through volume proxy boundary
+        if is_host:
+            m.kind = NULL
+        m.hete_params = tuple(float(x) for x in a[0:5])
+        m.hete_file = a[5] if len(a) > 5 else ''
+        m.med_g = float(a[0]) if a else 0.0
+        m.med_enabled = True
+    elif name == 'exterior':
+        # exterior <medium shader id> ... : attach like interior
+        if a:
+            pi = int(a[0])
+            _apply_shader(desc, pi, desc.shaders[pi], m, is_host=False)
+    elif name == 'texture':
+        # texture <slot char d/g/e/...> <file.fb|.pfm> [mul]
+        # (src/shaders/texture.c init)
+        if len(a) >= 2:
+            m.tex_slot = {'d': 0, 'g': 1, 'e': 2}.get(a[0], 0)
+            m.tex_file = a[1]
+            m.tex_mul = float(a[2]) if len(a) > 2 else 1.0
     elif name == 'mult':
         # mult <num> <pre...> <host> (src/shaders/mult.c:81-113)
         num = int(a[0])
@@ -293,6 +342,54 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
     checker = np.load(os.path.join(os.path.dirname(__file__), '..',
                                    'data', 'colorchecker_sg.npy'))
 
+    # --- texture atlas: load .pfm (RGB, fitted to coefficients) or .fb
+    # (already-fitted coefficient framebuffers, like the reference's
+    # pfm2fb output) into one padded array
+    tex_files = []
+    tex_idx_arr = np.full(M, -1, np.int32)
+    for mi, m in enumerate(mats):
+        if not m.tex_file:
+            continue
+        tp = m.tex_file
+        if not os.path.isabs(tp):
+            tp = os.path.join(os.path.dirname(nra2_path), tp)
+        if not os.path.exists(tp):
+            print(f"[scene] could not load texture `{m.tex_file}'")
+            continue
+        if tp not in tex_files:
+            tex_files.append(tp)
+        tex_idx_arr[mi] = tex_files.index(tp)
+    tex_imgs = []
+    for tp in tex_files:
+        if tp.endswith('.fb'):
+            from .io import fb as fb_io
+            c3 = fb_io.Framebuffer.load(tp).data.astype(np.float32)
+            img = np.concatenate([c3[..., :3],
+                                  np.ones(c3.shape[:2] + (1,), np.float32)],
+                                 axis=-1)
+        else:
+            from .io import pfm as pfm_io
+            rgb = pfm_io.read_pfm(tp).astype(np.float32)
+            c, mul = _fit(rgb.reshape(-1, 3))
+            img = np.concatenate([c, mul[:, None]],
+                                 axis=-1).reshape(rgb.shape[:2] + (4,))
+        tex_imgs.append(img)
+    if tex_imgs:
+        th = max(i.shape[0] for i in tex_imgs)
+        tw = max(i.shape[1] for i in tex_imgs)
+        atlas = np.zeros((len(tex_imgs), th, tw, 4), np.float32)
+        dims = np.zeros((len(tex_imgs), 2), np.int32)
+        for k, img in enumerate(tex_imgs):
+            atlas[k, :img.shape[0], :img.shape[1]] = img
+            dims[k] = img.shape[:2]
+        tex_atlas = jnp.asarray(atlas)
+        tex_dims = jnp.asarray(dims)
+        has_textures = True
+    else:
+        tex_atlas = None
+        tex_dims = None
+        has_textures = False
+
     materials = MaterialTable(
         kind=jnp.asarray(np.array([m.kind for m in mats], np.int32)),
         d_coeff=jnp.asarray(d_c), d_mul=jnp.asarray(d_m),
@@ -307,6 +404,13 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
         med_mus_coeff=jnp.asarray(mus_c), med_mus_mul=jnp.asarray(mus_m),
         med_g=jnp.asarray(np.array([m.med_g for m in mats], np.float32)),
         med_enabled=jnp.asarray(np.array([m.med_enabled for m in mats], bool)),
+        tex_idx=jnp.asarray(tex_idx_arr),
+        tex_slot=jnp.asarray(np.array([m.tex_slot for m in mats], np.int32)),
+        tex_mul=jnp.asarray(np.array([m.tex_mul for m in mats], np.float32)),
+        fres_n=jnp.asarray(np.stack(
+            [fresnel_data.get_conductor(m.metal_name)[0] for m in mats])),
+        fres_k=jnp.asarray(np.stack(
+            [fresnel_data.get_conductor(m.metal_name)[1] for m in mats])),
     )
 
     # --- light table: per emissive prim, weight = area * L_avg
@@ -377,9 +481,34 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
         sky_rgb = np.array([0.5, 0.6, 0.8], np.float32)
     sc, sm = _fit(sky_rgb[None])
 
+    # --- heterogeneous medium grid (at most one medium_hete per scene,
+    # like the single vol tree per shader in the reference)
+    vol_grid = None
+    has_hete = False
+    for mi, m in enumerate(mats):
+        if not m.hete_file:
+            continue
+        vp = m.hete_file
+        if not os.path.isabs(vp):
+            vp = os.path.join(os.path.dirname(nra2_path), vp)
+        if not os.path.exists(vp):
+            print(f"[scene] could not open volume data `{m.hete_file}'"
+                  " — shape renders as empty boundary")
+            continue
+        from .io import vol as vol_io
+        from .models import medium_hete as hete_mod
+        g0, _g1, s_s, s_t, s_e = (tuple(m.hete_params) + (0.,) * 5)[:5]
+        vol_grid = hete_mod.from_volfile(vol_io.read_vol(vp), s_s, s_t, s_e,
+                                         g0, mat_id=mi)
+        has_hete = True
+        break
+
     scene = Scene(geom=geom, materials=materials, lights=lights,
                   camera=camera, prim_shader=jnp.asarray(prim_shader),
                   sky_kind=jnp.int32(sky_kind),
                   sky_coeff=jnp.asarray(sc[0]), sky_mul=jnp.asarray(sm[0]),
+                  vol=vol_grid, has_hete=has_hete,
+                  tex_atlas=tex_atlas, tex_dims=tex_dims,
+                  has_textures=has_textures,
                   kinds_used=tuple(sorted({m.kind for m in mats})))
     return scene, cd

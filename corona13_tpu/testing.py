@@ -18,6 +18,7 @@ from . import scene as scene_mod
 from .io import cam as cam_io
 from .ops.trace import make_device_geometry
 from .spectral import rgb2spec
+from .spectral import fresnel_data
 
 
 def _quad(p0, p1, p2, p3):
@@ -79,7 +80,16 @@ def assemble_scene(tri_v, tri_sh, mats, cam: cam_io.CameraData,
         med_mut_coeff=jnp.asarray(mut_c), med_mut_mul=jnp.asarray(mut_m),
         med_mus_coeff=jnp.asarray(mus_c), med_mus_mul=jnp.asarray(mus_m),
         med_g=jnp.asarray(np.array([m.med_g for m in mats], np.float32)),
-        med_enabled=jnp.asarray(np.array([m.med_enabled for m in mats], bool)))
+        med_enabled=jnp.asarray(np.array([m.med_enabled for m in mats], bool)),
+        tex_idx=jnp.full((len(mats),), -1, jnp.int32),
+        tex_slot=jnp.zeros((len(mats),), jnp.int32),
+        tex_mul=jnp.ones((len(mats),), jnp.float32),
+        fres_n=jnp.asarray(np.stack(
+            [fresnel_data.get_conductor(getattr(m, 'metal_name', 'default'))[0]
+             for m in mats])),
+        fres_k=jnp.asarray(np.stack(
+            [fresnel_data.get_conductor(getattr(m, 'metal_name', 'default'))[1]
+             for m in mats])))
 
     # light table: weight per prim = L / sum(L*A) (lights.d/list.c:125-128)
     lam4 = np.array([400.0, 480.0, 560.0, 660.0], np.float32)

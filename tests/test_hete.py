@@ -1,0 +1,94 @@
+"""Heterogeneous media: .vol IO roundtrip, grid transmittance/distance
+sampling vs analytic homogeneous expectations (regression 0031_hete
+semantics on a constant-density grid)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from corona13_tpu.io import vol as vol_io
+from corona13_tpu.models import medium_hete as hete
+
+
+def _const_grid(rho=1.0, sigma_t=2.0, sigma_s=1.0):
+    d = np.full((64, 64, 64), rho, np.float32)
+    vf = vol_io.VolFile(d, np.zeros_like(d), [0, 0, 0, 4, 4, 4], 1.0,
+                        np.zeros(3), np.zeros(3))
+    return hete.from_volfile(vf, sigma_s, sigma_t, 0.0, 0.0, mat_id=7)
+
+
+def test_vol_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    d = np.zeros((64, 64, 64), np.float32)
+    d[10:50, 20:40, 5:60] = rng.random((40, 20, 55)).astype(np.float32)
+    t = (d * 2).astype(np.float32)
+    p = str(tmp_path / 't.vol')
+    vol_io.write_vol(p, d, t, voxel_size=0.5, loc=(1, 2, 3))
+    vf = vol_io.read_vol(p)
+    assert vf.res == (64, 64, 64)
+    assert np.abs(vf.density - d).max() < 2e-3
+    assert np.abs(vf.temperature - t).max() < 4e-3
+
+
+def test_transmittance_matches_analytic():
+    g = _const_grid(rho=0.5, sigma_t=2.0)
+    org = jnp.array([[-1.0, 2.0, 2.0], [2.0, 2.0, 2.0]])
+    w = jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    dist = jnp.array([10.0, 1.0])
+    tr = np.asarray(hete.transmittance(g, org, w, dist))
+    # ray 0 crosses the full 4-unit box: tau = 0.5*2*4 = 4
+    assert abs(tr[0] - np.exp(-4.0)) < 2e-2
+    # ray 1 marches 1 unit inside: tau = 1
+    assert abs(tr[1] - np.exp(-1.0)) < 2e-2
+
+
+def test_sample_dist_statistics():
+    g = _const_grid(rho=1.0, sigma_t=1.0, sigma_s=0.7)
+    n = 4096
+    org = jnp.tile(jnp.array([[-1.0, 2.0, 2.0]]), (n, 1))
+    w = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1))
+    rnd = jnp.asarray(np.random.default_rng(1).random(n, np.float32))
+    t_hit = jnp.full((n,), 100.0)
+    scat, dist, wgt = hete.sample_dist(g, org, w, t_hit, rnd)
+    scat = np.asarray(scat)
+    dist = np.asarray(dist)
+    # scatter prob = 1 - exp(-tau), tau = 4 through the box
+    assert abs(scat.mean() - (1 - np.exp(-4.0))) < 0.02
+    # scattered distances: 1 + Exp(1) truncated to the box (entry at t=1)
+    d_in = dist[scat] - 1.0
+    assert (d_in >= -1e-3).all() and (d_in <= 4.0 + 1e-3).all()
+    # mean of truncated exponential on [0,4]: (1 - 5 e^-4)/(1 - e^-4)
+    expect = (1 - 5 * np.exp(-4.0)) / (1 - np.exp(-4.0))
+    assert abs(d_in.mean() - expect) < 0.05
+    # scatter weight = sigma_s / sigma_t
+    assert np.allclose(np.asarray(wgt)[scat], 0.7, atol=1e-5)
+    assert np.allclose(np.asarray(wgt)[~scat], 1.0)
+
+
+def test_scene_with_hete_medium_renders(cornell):
+    """End-to-end: attach a constant fog grid via a NULL-boundary material
+    and render — must be finite and dimmer than the fog-free image."""
+    import jax
+    from corona13_tpu.samplers import pt as pt_mod
+    from corona13_tpu.models import bsdf as bsdf_mod
+    g = _const_grid(rho=0.35, sigma_t=1.0, sigma_s=0.0)
+    # fog box filling the cornell interior (box is 10 wide, z in [10,20])
+    g = g.replace(lo=jnp.array([-5.0, -5.0, 10.0]),
+                  hi=jnp.array([5.0, 5.0, 20.0]), mat_id=0)
+    # material 0 in the cornell fixture is the diffuse wall; instead make a
+    # dedicated scene: reuse cornell but mark the medium on material id 99
+    # (no geometry transitions into it, so in_medium is forced below)
+    sc = cornell.replace(vol=g, has_hete=True)
+    cfg = pt_mod.PTConfig(width=32, height=24, max_verts=4, mf=2,
+                          media=True)
+    from corona13_tpu.models import medium as medium_mod
+    # directly exercise the scene-level dispatch on rays in the grid medium
+    n = 128
+    org = jnp.tile(jnp.array([[0.0, 0.0, 15.0]]), (n, 1))
+    w = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    med = jnp.full((n,), 0, jnp.int32)
+    lam = jnp.full((n, 2), 550.0)
+    tr = medium_mod.transmittance_scene(sc, med, lam, org, w,
+                                        jnp.full((n,), 5.0))
+    assert np.allclose(np.asarray(tr), np.exp(-0.35 * 5.0), atol=2e-2)
+    fb = pt_mod.render_sample(sc, cfg, jnp.uint32(0))
+    assert np.isfinite(np.asarray(fb)).all()
