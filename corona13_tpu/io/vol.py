@@ -100,7 +100,10 @@ def read_vol(path: str, max_res: int = 256) -> VolFile:
         _NODE)
     root = n_nodes - 1
 
-    res = 8 ** (depth + 1)
+    # resolution is 8**depth voxels per axis (vol.h:299 voxel_size uses
+    # powf(8, depth); root-to-leaf files are depth=2 -> 64^3, and depth==1
+    # is explicitly unsupported by the reference loader, vol.h:295).
+    res = 8 ** depth
     dens = np.zeros((res, res, res), np.float32)    # [Z, Y, X]
     temp = np.zeros((res, res, res), np.float32)
 
@@ -138,7 +141,9 @@ def read_vol(path: str, max_res: int = 256) -> VolFile:
                     + int(f['off'][i])
                 walk(child, level - 1, cx, cy, cz)
 
-    walk(root, depth, 0, 0, 0)
+    # the root node's children are cells of 8**(depth-1) voxels; at depth=2
+    # the root is a leaf whose 512 children are 8^3 payload bricks.
+    walk(root, depth - 1, 0, 0, 0)
 
     while dens.shape[0] > max_res:
         dens = dens.reshape(dens.shape[0] // 2, 2, dens.shape[1] // 2, 2,
@@ -151,9 +156,11 @@ def read_vol(path: str, max_res: int = 256) -> VolFile:
 
 def write_vol(path: str, density, temperature=None, aabb=None,
               voxel_size=1.0, loc=(0, 0, 0), rot=(0, 0, 0), shaderid=0):
-    """Write a depth-1 static .vol (res <= 64 per axis; larger grids are
+    """Write a depth-2 static .vol (res <= 64 per axis; larger grids are
     written at 64^3 by nearest sampling).  density/temperature: [Z, Y, X].
-    The analogue of tools/vol/ptc2vol.c's output stage."""
+    The analogue of tools/vol/ptc2vol.c's output stage.  depth=2 matches
+    the reference convention (8**depth = 64 voxels per axis, root node is
+    a leaf of 8^3 bricks; depth=1 files are rejected by vol.h:295)."""
     density = np.asarray(density, np.float32)
     if temperature is None:
         temperature = np.zeros_like(density)
@@ -224,7 +231,7 @@ def write_vol(path: str, density, temperature=None, aabb=None,
     hd['voxel_size'] = voxel_size
     hd['rot'][0] = np.asarray(rot, np.float32)
     hd['loc'][0] = np.asarray(loc, np.float32)
-    hd['depth'] = 1
+    hd['depth'] = 2
     hd['light'] = light_off
     hd['isstatic'] = 1
     hd['shaderid'] = shaderid
