@@ -43,6 +43,7 @@ def main():
 
     cfg = pt_mod.PTConfig(width=1024, height=576, max_verts=6, mf=4,
                           use_nee=True)
+    sc = scene_mod.fit_film(sc, cfg.width, cfg.height)
     step = jax.jit(lambda s: pt_mod.render_sample(sc, cfg, s))
     fb = step(jnp.uint32(0))
     fb.block_until_ready()

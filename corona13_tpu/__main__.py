@@ -56,8 +56,14 @@ def main(argv=None):
     from .io import pfm as pfm_io
     from .samplers import pt as pt_mod
 
+    # the reference 32-aligns view dims and refits the film back to the
+    # pixel aspect on every camera load (view.c:295-297, 938-947)
+    args.width = scene_mod.align32(args.width)
+    args.height = scene_mod.align32(args.height)
+
     t0 = time.time()
     scene, cd = scene_mod.load_scene(args.scene, args.cam)
+    scene = scene_mod.fit_film(scene, args.width, args.height)
     print(f'[corona13_tpu] scene loaded in {time.time() - t0:.1f}s: '
           f'{scene.geom.n_tris} tris, {scene.geom.n_spheres} spheres, '
           f'{scene.geom.n_lines} lines, {scene.lights.n_lights} lights')

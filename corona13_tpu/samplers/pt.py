@@ -339,8 +339,11 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
                                                      hit.prim)
                                if cfg.media else hit.prim,
                                ignore_prim2=ls['prim'])
+            # count only shadow rays that traverse (t_max > 0), i.e. `can`
+            # pre-visibility — lanes with can=False call occluded with
+            # t_max=0 and do no BVH work
+            nrays = nrays + can.astype(jnp.int32)
             can = can & ~blocked
-            nrays = nrays + can_vertex.astype(jnp.int32)  # shadow ray traced
             # throughput: T * f * G * em * edf / pdf_area  (nee.h:204-206)
             pdf_nee = ls['pdf_area'][..., None]
             pdf_nee_safe = jnp.where(pdf_nee > 0.0, pdf_nee, 1.0)
@@ -382,8 +385,8 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             blocked_e = occluded(scene.geom, ray_offset(x, d_env), d_env,
                                  jnp.where(can_e, 1e4, 0.0),
                                  ignore_prim=hit.prim)
-            can_e = can_e & ~blocked_e
-            nrays = nrays + valid.astype(jnp.int32)
+            nrays = nrays + can_e.astype(jnp.int32)  # pre-visibility: rays
+            can_e = can_e & ~blocked_e               # with t_max>0 traverse
             le_env = lights_mod.sky_eval(scene, d_env, lam)
             pdf_env_safe = jnp.where(pdf_env > 0.0, pdf_env, 1.0)
             efac = (cos_e / pdf_env_safe)[..., None]

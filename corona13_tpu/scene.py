@@ -101,6 +101,7 @@ class CameraP:
     f_stop: jnp.ndarray
     exposure_time: jnp.ndarray
     iso: jnp.ndarray
+    crop_factor: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -467,7 +468,8 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
         film_height=jnp.float32(cd.film_height),
         f_stop=jnp.float32(cd.f_stop),
         exposure_time=jnp.float32(cd.exposure_time),
-        iso=jnp.float32(cd.iso))
+        iso=jnp.float32(cd.iso),
+        crop_factor=jnp.float32(cd.crop_factor))
 
     # --- sky
     sky_kind = {'black': SKY_BLACK, 'sky_const': SKY_CONST,
@@ -512,3 +514,34 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
                   has_textures=has_textures,
                   kinds_used=tuple(sorted({m.kind for m in mats})))
     return scene, cd
+
+
+def align32(n: int) -> int:
+    """Round a view dimension up to a multiple of 32 like view_init
+    (reference src/view.c:295-297) — regression renders must use the same
+    aligned dims as the reference binary or the film aspect diverges."""
+    return (n + 31) & ~31
+
+
+def fit_film(scene: Scene, width: int, height: int) -> Scene:
+    """Refit the camera film back to the render aspect.
+
+    The reference recomputes film_width/film_height from the (32-aligned)
+    view dims on every camera load (view_cam_read, src/view.c:938-947):
+    the 35mm-wide full-frame back is scaled by 1/crop_factor and the other
+    film dimension follows the pixel aspect — the .cam-stored film size is
+    only advisory.  Rendering with the stored dims at a different aspect
+    shifts the vertical framing (the round-2 RMSE-20 bug vs reference
+    renders).  Call once per render with the final pixel dims.
+    """
+    cam = scene.camera
+    crop = cam.crop_factor if cam.crop_factor is not None else jnp.float32(1.0)
+    full = jnp.float32(cam_io.FULL_FRAME_WIDTH) / crop
+    if width > height:
+        fw = full
+        fh = full * (height / width)
+    else:
+        fh = full
+        fw = full * (width / height)
+    return scene.replace(camera=cam.replace(film_width=jnp.float32(fw),
+                                            film_height=jnp.float32(fh)))
