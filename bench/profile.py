@@ -1,4 +1,7 @@
-"""Profiling harness: split the 0010_pt progression cost into stages."""
+"""Profiling harness: split the 0010_pt progression cost into stages.
+
+Run: python -m bench.profile  (real TPU; ~3 min of compiles on first run).
+"""
 import time, os, sys
 import jax
 import jax.numpy as jnp
@@ -9,6 +12,7 @@ from corona13_tpu.ops.trace import intersect, occluded, MAX_DIST
 
 SCENE = '/root/reference/regression/0010_pt/test.nra2'
 sc, _ = scene_mod.load_scene(SCENE)
+sc = scene_mod.fit_film(sc, 1024, 576)
 cfg = pt_mod.PTConfig(width=1024, height=576, max_verts=6, mf=4, use_nee=True)
 n = cfg.width * cfg.height
 print('tris:', sc.geom.n_tris, 'spheres:', sc.geom.n_spheres,

@@ -79,6 +79,19 @@ def sample(camera, width: int, height: int, pix_i, pix_j, r_ap1, r_ap2, time):
     return org, d, throughput, pdf_proj
 
 
+def pdf_connect(camera, cos_ap):
+    """Projected-solid-angle pdf of the camera sampling a direction whose
+    cosine to the view axis is ``cos_ap`` — identical to sample()'s
+    pdf_proj for that direction (reference camera_pdf, thinlens.c:163-178:
+    pdf_v/G with pdf_v = 1/(A*film_w*film_h), G = cos^4/f^2).  Used as the
+    reverse pdf of the camera-adjacent vertex in BDPT t=1 MIS."""
+    cos_ap = jnp.maximum(cos_ap, 1e-6)
+    g = cos_ap ** 4 / (camera.focal_length * camera.focal_length)
+    pdf_a = 1.0 / aperture_area(camera)
+    pdf_v = 1.0 / (camera.film_width * camera.film_height)
+    return pdf_v * pdf_a / g
+
+
 def connect(camera, width: int, height: int, y, r_ap1, r_ap2, time):
     """Connect a world vertex ``y`` to a sampled aperture point — the LT /
     BDPT camera connection (reference camera_connect, thinlens.c).

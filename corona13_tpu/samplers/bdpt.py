@@ -6,10 +6,15 @@ both subpaths are traced as wavefront SoA scans whose per-vertex records
 are *stacked* into [T, N, ...] arrays, and every (s, t) connection is a
 dense vectorized pass over the whole wavefront.
 
-Strategy set: s >= 0 light vertices x t >= 2 eye vertices (the t = 1
-light-tracing splat strategies are excluded; MIS weights are computed over
-exactly the implemented strategy set, so the estimator remains unbiased —
-every surface path is reachable via s = 0).
+Strategy set: s >= 0 light vertices x t >= 2 eye vertices, plus the t = 1
+camera-splat strategies (light-subpath endpoint connected to a sampled
+aperture point, splatted at the projected pixel through the general
+scatter splat — reference bdpt.c:376-402).  MIS weights are computed
+jointly over the full strategy set including t = 1.
+
+Participating media are NOT traced on subpaths or connections (vacuum
+transport only); media scenes should use pt/ptdl, which handle
+homogeneous + grid media (render_sample warns).
 
 MIS bookkeeping follows the reference's vertex-area-measure convention
 (src/pathspace.c:262, path_pdf:364): for each subpath vertex we store
@@ -140,9 +145,20 @@ def _at(recs, i):
             for f in recs}
 
 
-def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1):
+def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
+                  only=None):
     """One BDPT progression: returns the XYZ accumulation framebuffer
-    [H, W, 3] (unnormalized, like pt.render_sample)."""
+    [H, W, 3] (unnormalized, like pt.render_sample).
+
+    ``only``: optional single strategy (s, t) — compute just that
+    connection (MIS weights still span the full strategy set).  This is
+    the device half of bdpt1 (samplers/bdpt1.py): one connection per
+    launch, selected host-side (reference src/sampler.d/bdpt1.c)."""
+    if cfg.media or scene.has_hete:
+        import warnings
+        warnings.warn('bdpt traces subpaths and connections without '
+                      'participating-media transmittance (vacuum); media '
+                      'scenes diverge from pt/ptdl')
     n = cfg.width * cfg.height * batch
     pixel_idx = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
     pixel_idx = jnp.tile(pixel_idx, batch)
@@ -206,6 +222,8 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1):
     # s = 0: eye path hits an emitter (bdpt.c unidirectional strategy)
     # =====================================================================
     for t in range(2, NT + 2):
+        if only is not None and only != (0, t):
+            continue
         k = t
         r = _at(eye, t - 2)                      # emitter vertex y_{t-1}
         le = lights_mod.eval_vertex(r['sp'].em, r['sp'].roughness,
@@ -234,11 +252,13 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1):
 
         denom = ones
         rr = ones
-        for j in range(1, k - 1):
+        for j in range(1, k):
             rr = rr * _ratio(pdfA_fwd[j - 1], pdfA_rev[j - 1])
-            ok = conn[j - 1] & conn[j] if j >= 1 else None
             if j > NL or (k - j) > NT + 1:
                 continue
+            # j = k-1 is the t=1 camera-splat strategy — the camera vertex
+            # is always connectable (aperture sampling, bdpt.c:376-402)
+            ok = conn[j - 1] if j == k - 1 else conn[j - 1] & conn[j]
             denom = denom + jnp.where(ok[..., None], rr, 0.0)
         w = _ratio(ones, jnp.sum(denom, axis=-1, keepdims=True))
         w = jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
@@ -249,6 +269,8 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1):
     # =====================================================================
     for s in range(1, NL + 1):
         for t in range(2, NT + 2):
+            if only is not None and only != (s, t):
+                continue
             k = s + t
             if k > cfg.max_verts:
                 continue
@@ -353,21 +375,116 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1):
                 else:
                     ok = conn[j - 1] & conn[j]
                     denom = denom + jnp.where(ok[..., None], rr, 0.0)
-            rr = ones                            # splice up: j = s+1 .. k-2
-            for j in range(s + 1, k - 1):
+            rr = ones                            # splice up: j = s+1 .. k-1
+            for j in range(s + 1, k):
                 rr = rr * _ratio(pdfA_fwd[j - 1], pdfA_rev[j - 1])
                 if j > NL:
                     break
-                ok = conn[j - 1] & conn[j]
+                # j = k-1 = the t=1 camera splat (camera side always on)
+                ok = conn[j - 1] if j == k - 1 else conn[j - 1] & conn[j]
                 denom = denom + jnp.where(ok[..., None], rr, 0.0)
 
             w = _ratio(ones, jnp.sum(denom, axis=-1, keepdims=True))
             w = jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
             accum = accum + jnp.where(can[..., None], contrib * w, 0.0)
 
-    # --- splat (pixel-aligned like pt.render_sample) ---------------------
+    # =====================================================================
+    # t = 1: light-subpath endpoint -> camera aperture splats
+    # (bdpt.c:376-402; the splats land anywhere on the film, so they go
+    # through the general filtered scatter splat like samplers/lt.py)
+    # =====================================================================
     from ..ops import splat as splat_mod
+    fb = jnp.zeros((cfg.height, cfg.width, 3))
+    for s in range(1, NL + 1):
+        if only is not None and only != (s, 1):
+            continue
+        k = s + 1
+        if k > cfg.max_verts:
+            break
+        if s == 1:
+            rz = None
+            z_x, z_prim = em['pos'], em['prim']
+            z_valid = pdf_pos > 0.0
+            z_conn = z_valid
+        else:
+            rz = _at(light, s - 2)
+            z_x, z_prim = rz['x'], rz['prim']
+            z_valid = rz['valid']
+            z_conn = rz['connectable']
+        cc = camera_mod.connect(scene.camera, cfg.width, cfg.height, z_x,
+                                rnd_l(rng.Dim.APERTURE_X, salt=70 + s),
+                                rnd_l(rng.Dim.APERTURE_Y, salt=70 + s), time)
+        d_cam = cc['dir']                       # z -> aperture, unit
+        cos_ap = -dot(d_cam, cc['cam_n'])       # aperture faces the vertex
+        if s == 1:
+            # emitter -> camera: f = Le * EDF, weight carries 1/pdf_pos
+            cos_l = dot(em['gn'], d_cam)
+            edf = lights_mod.phong_edf(rough_l0, cos_l)
+            edf = jnp.where((cos_l > 0.0) & jnp.isfinite(edf), edf, 0.0)
+            f_z = le_spec * edf[..., None]
+            z_thr = _ratio(ones,
+                           jnp.broadcast_to(pdf_pos[..., None], (n, mf)))
+            cos_z = cos_l
+        else:
+            f_z, _ = bsdf_mod.bsdf_eval_pdf(rz['sp'], rz['d_in'], d_cam,
+                                            kinds=scene.kinds_used)
+            f_z = jnp.where(jnp.isfinite(f_z), f_z, 0.0)
+            z_thr = rz['thr']
+            cos_z = _lambert(rz['sp'].n, d_cam)
+        g_conn = jnp.abs(cos_z) * cos_ap / \
+            jnp.maximum(cc['dist'] * cc['dist'], 1e-20)
+        can = z_valid & z_conn & cc['valid'] & (cos_ap > 1e-6) & \
+            jnp.any(f_z > 0.0, axis=-1)
+        blocked = occluded(scene.geom, ray_offset(z_x, d_cam), d_cam,
+                           jnp.where(can, cc['dist'] * (1.0 - 1e-3), 0.0),
+                           ignore_prim=z_prim)
+        can = can & ~blocked
+        # cc.weight = sensor / p_aperture (camera.connect docstring)
+        contrib = z_thr * f_z * (cc['weight'] * g_conn)[..., None]
+        contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+
+        # ---- MIS over all strategies of length k (this one is j = k-1) --
+        pdfA_fwd = [None] * (k - 1)
+        pdfA_rev = [None] * (k - 1)
+        conn = [None] * (k - 1)
+        pdfA_fwd[0] = jnp.broadcast_to(pdf_pos[..., None], (n, mf)) * ones
+        conn[0] = pdf_pos > 0.0
+        for i in range(1, k - 1):
+            ri = _at(light, i - 1)
+            pdfA_fwd[i] = ri['pdf_fwd_a']
+            conn[i] = ri['connectable']
+        # reverse pdf of the camera-adjacent vertex: camera direction pdf
+        # (proj solid angle, incl. film+aperture like camera_sample) x G
+        cam_rev = camera_mod.pdf_connect(scene.camera, cos_ap) * g_conn
+        pdfA_rev[s - 1] = jnp.where(jnp.isfinite(cam_rev), cam_rev,
+                                    0.0)[..., None] * ones
+        if s >= 2:
+            _, p = bsdf_mod.bsdf_eval_pdf(rz['sp'], -d_cam, -rz['d_in'],
+                                          kinds=scene.kinds_used)
+            p = jnp.where(jnp.isfinite(p), p, 0.0)
+            pdfA_rev[s - 2] = p * rz['g_rev'][..., None]
+        for i in range(0, s - 2):
+            pdfA_rev[i] = _at(light, i)['pdf_rev_a']
+
+        denom = ones
+        rr = ones
+        for j in range(s - 1, -1, -1):           # splice down to j = 0
+            rr = rr * _ratio(pdfA_rev[j], pdfA_fwd[j])
+            if (k - j) > NT + 1:
+                break
+            if j == 0:
+                denom = denom + rr               # unidirectional: always on
+            else:
+                ok = conn[j - 1] & conn[j]
+                denom = denom + jnp.where(ok[..., None], rr, 0.0)
+        w = _ratio(ones, jnp.sum(denom, axis=-1, keepdims=True))
+        w = jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
+        val = jnp.where(can[..., None], contrib * w, 0.0)
+        val = jnp.where(jnp.isfinite(val), val, 0.0)
+        fb = splat_mod.splat(fb, cc['pix_i'], cc['pix_j'],
+                             cie.spectral_to_xyz(lam, val))
+
+    # --- splat (pixel-aligned like pt.render_sample) ---------------------
     accum = jnp.where(jnp.isfinite(accum), accum, 0.0)
     xyz = cie.spectral_to_xyz(lam, accum)
-    fb = jnp.zeros((cfg.height, cfg.width, 3))
     return splat_mod.splat_pixel_aligned(fb, jx, jy, xyz, batch=batch)

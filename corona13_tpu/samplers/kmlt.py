@@ -56,7 +56,8 @@ def _eval(scene, cfg, u):
 
 
 def render_sample(scene, cfg: pt_mod.PTConfig, sample_idx, batch: int = 1,
-                  chains: int = 8192, burn_in: int = 8):
+                  chains: int = 8192, burn_in: int = 8,
+                  stuck_limit: int = 40000):
     """One kmlt 'progression': runs enough mutations that the total splat
     count matches batch * width * height (like one PT progression per
     batch), returns the accumulated XYZ framebuffer [H, W, 3].
@@ -64,7 +65,10 @@ def render_sample(scene, cfg: pt_mod.PTConfig, sample_idx, batch: int = 1,
     Chains are re-seeded per launch from the counter RNG (independent
     restarts — the many-short-chains regime that suits lockstep hardware;
     the reference's per-thread chains persist longer but mix the same
-    way via 0.2 large steps).
+    way via 0.2 large steps).  The first ``burn_in`` mutations only move
+    the chains (no splats) so the stationary distribution is reached
+    before samples count; ``stuck_limit`` consecutive rejections force an
+    accept (the reference's stuck-chain escape, kmlt.c:276).
     """
     d = pt_mod.psd_dims(cfg.max_verts)
     n_mut = max(1, (cfg.width * cfg.height * batch) // chains)
@@ -82,7 +86,7 @@ def render_sample(scene, cfg: pt_mod.PTConfig, sample_idx, batch: int = 1,
     fb0 = jnp.zeros((cfg.height, cfg.width, 3))
 
     def step(carry, it):
-        u, pi, pj, xyz, i_cur, fb, b_sum, b_cnt = carry
+        u, pi, pj, xyz, i_cur, fb, b_sum, b_cnt, rejects = carry
         r_large = crnd(it, 0)
         large = r_large < P_LARGE_STEP
         # tentative primary samples
@@ -105,25 +109,30 @@ def render_sample(scene, cfg: pt_mod.PTConfig, sample_idx, batch: int = 1,
 
         a = jnp.minimum(1.0, jnp.where(i_cur > 0.0,
                                        i_t / jnp.maximum(i_cur, 1e-30), 1.0))
-        # splat both states, weighted by their selection probabilities
-        w_cur = jnp.where(i_cur > 0.0, (1.0 - a) / jnp.maximum(i_cur, 1e-30),
-                          0.0)
-        w_t = jnp.where(i_t > 0.0, a / jnp.maximum(i_t, 1e-30), 0.0)
+        # splat both states, weighted by their selection probabilities;
+        # burn-in iterations move the chains without splatting
+        gate = (it > burn_in).astype(jnp.float32)
+        w_cur = gate * jnp.where(i_cur > 0.0,
+                                 (1.0 - a) / jnp.maximum(i_cur, 1e-30), 0.0)
+        w_t = gate * jnp.where(i_t > 0.0, a / jnp.maximum(i_t, 1e-30), 0.0)
         fb = splat_mod.splat(fb, pi, pj, xyz * w_cur[:, None])
         fb = splat_mod.splat(fb, pi_t, pj_t, xyz_t * w_t[:, None])
 
-        acc = crnd(it, 1) < a
+        # stuck-chain escape: force-accept after stuck_limit rejections
+        acc = (crnd(it, 1) < a) | (rejects >= stuck_limit)
+        rejects = jnp.where(acc, 0, rejects + 1)
         u = jnp.where(acc[:, None], u_t, u)
         pi = jnp.where(acc, pi_t, pi)
         pj = jnp.where(acc, pj_t, pj)
         xyz = jnp.where(acc[:, None], xyz_t, xyz)
         i_cur = jnp.where(acc, i_t, i_cur)
-        return (u, pi, pj, xyz, i_cur, fb, b_sum, b_cnt), None
+        return (u, pi, pj, xyz, i_cur, fb, b_sum, b_cnt, rejects), None
 
     carry = (u0, pi0, pj0, xyz0, i0, fb0, jnp.sum(i0),
-             jnp.float32(chains))
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(1, n_mut + 1))
-    _, _, _, _, _, fb, b_sum, b_cnt = carry
+             jnp.float32(chains), jnp.zeros((chains,), jnp.int32))
+    carry, _ = jax.lax.scan(step, carry,
+                            jnp.arange(1, n_mut + burn_in + 1))
+    _, _, _, _, _, fb, b_sum, b_cnt, _ = carry
     b = b_sum / jnp.maximum(b_cnt, 1.0)
     # each mutation splats 1 sample; scale so the accumulation normalizes
     # like `batch` PT progressions (W*H samples each)

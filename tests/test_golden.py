@@ -67,3 +67,45 @@ def test_pt_matches_reference(scene_0010, golden_0010):
         golden_0010.mean()
     assert rmse < 4.0, f'RMSE {rmse} vs reference gate 4.0'
     assert mean_rel < 0.08, f'mean energy off by {mean_rel:.1%}'
+
+
+def test_lt_matches_reference(scene_0010, golden_0010):
+    """0012_lt gate: light tracing vs the converged reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from corona13_tpu.io import pfm as pfm_io
+    from corona13_tpu.samplers import lt as lt_mod, pt as pt_mod
+    cfg = pt_mod.PTConfig(width=256, height=160, max_verts=8, mf=4)
+    step = jax.jit(lambda s: lt_mod.render_sample(scene_0010, cfg, s))
+    spp = 48
+    acc = None
+    for s in range(spp):
+        out = step(jnp.uint32(s))
+        acc = out if acc is None else acc + out
+    img = np.asarray(acc) * float(scene_0010.camera.iso) / (100.0 * spp)
+    rmse = pfm_io.rmse(img, golden_0010)
+    mean_rel = abs(img.mean() - golden_0010.mean()) / golden_0010.mean()
+    assert rmse < 4.0, f'RMSE {rmse} vs reference gate 4.0'
+    assert mean_rel < 0.08, f'mean energy off by {mean_rel:.1%}'
+
+
+def test_bdpt_matches_reference(scene_0010, golden_0010):
+    """0014_bdpt gate: bidirectional (incl. t=1 splats) vs the reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from corona13_tpu.io import pfm as pfm_io
+    from corona13_tpu.samplers import bdpt as bdpt_mod, pt as pt_mod
+    cfg = pt_mod.PTConfig(width=256, height=160, max_verts=6, mf=4)
+    step = jax.jit(lambda s: bdpt_mod.render_sample(scene_0010, cfg, s))
+    spp = 32
+    acc = None
+    for s in range(spp):
+        out = step(jnp.uint32(s))
+        acc = out if acc is None else acc + out
+    img = np.asarray(acc) * float(scene_0010.camera.iso) / (100.0 * spp)
+    rmse = pfm_io.rmse(img, golden_0010)
+    mean_rel = abs(img.mean() - golden_0010.mean()) / golden_0010.mean()
+    assert rmse < 4.0, f'RMSE {rmse} vs reference gate 4.0'
+    assert mean_rel < 0.08, f'mean energy off by {mean_rel:.1%}'
