@@ -146,14 +146,19 @@ def _at(recs, i):
 
 
 def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
-                  only=None):
+                  only=None, strategies=None):
     """One BDPT progression: returns the XYZ accumulation framebuffer
     [H, W, 3] (unnormalized, like pt.render_sample).
 
     ``only``: optional single strategy (s, t) — compute just that
     connection (MIS weights still span the full strategy set).  This is
     the device half of bdpt1 (samplers/bdpt1.py): one connection per
-    launch, selected host-side (reference src/sampler.d/bdpt1.c)."""
+    launch, selected host-side (reference src/sampler.d/bdpt1.c).
+
+    ``strategies``: optional frozenset of (s, t) — restrict the ESTIMATOR
+    to that strategy family; MIS denominators then span exactly the
+    restricted set, so the estimator stays unbiased.  samplers/ptlt.py
+    uses this with {s<=1} + {t=1} (reference ptlt.c's pt+nee+lt family)."""
     if cfg.media or scene.has_hete:
         import warnings
         warnings.warn('bdpt traces subpaths and connections without '
@@ -168,6 +173,16 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
 
     NT = cfg.max_verts - 1    # eye surface vertices y_1 .. y_NT
     NL = max(cfg.max_verts - 2, 1)   # light vertices z_0 .. z_{NL-1}
+
+    def in_set(s_, t_):
+        """Strategy (s_, t_) is part of the estimator's set (and hence of
+        every MIS denominator)."""
+        return strategies is None or (s_, t_) in strategies
+
+    def compute(s_, t_):
+        if only is not None:
+            return only == (s_, t_)
+        return in_set(s_, t_)
 
     def rnd(dim, salt=0):
         return rng.sample_dim(ps, pixel_idx, sidx, dim + 101 * salt, cfg.seed)
@@ -222,7 +237,7 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
     # s = 0: eye path hits an emitter (bdpt.c unidirectional strategy)
     # =====================================================================
     for t in range(2, NT + 2):
-        if only is not None and only != (0, t):
+        if not compute(0, t):
             continue
         k = t
         r = _at(eye, t - 2)                      # emitter vertex y_{t-1}
@@ -254,7 +269,7 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
         rr = ones
         for j in range(1, k):
             rr = rr * _ratio(pdfA_fwd[j - 1], pdfA_rev[j - 1])
-            if j > NL or (k - j) > NT + 1:
+            if j > NL or (k - j) > NT + 1 or not in_set(j, k - j):
                 continue
             # j = k-1 is the t=1 camera-splat strategy — the camera vertex
             # is always connectable (aperture sampling, bdpt.c:376-402)
@@ -269,7 +284,7 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
     # =====================================================================
     for s in range(1, NL + 1):
         for t in range(2, NT + 2):
-            if only is not None and only != (s, t):
+            if not compute(s, t):
                 continue
             k = s + t
             if k > cfg.max_verts:
@@ -370,6 +385,8 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
                 rr = rr * _ratio(pdfA_rev[j], pdfA_fwd[j])
                 if (k - j) > NT + 1:
                     break
+                if not in_set(j, k - j):
+                    continue
                 if j == 0:
                     denom = denom + rr           # unidirectional: always on
                 else:
@@ -380,6 +397,8 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
                 rr = rr * _ratio(pdfA_fwd[j - 1], pdfA_rev[j - 1])
                 if j > NL:
                     break
+                if not in_set(j, k - j):
+                    continue
                 # j = k-1 = the t=1 camera splat (camera side always on)
                 ok = conn[j - 1] if j == k - 1 else conn[j - 1] & conn[j]
                 denom = denom + jnp.where(ok[..., None], rr, 0.0)
@@ -396,7 +415,7 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
     from ..ops import splat as splat_mod
     fb = jnp.zeros((cfg.height, cfg.width, 3))
     for s in range(1, NL + 1):
-        if only is not None and only != (s, 1):
+        if not compute(s, 1):
             continue
         k = s + 1
         if k > cfg.max_verts:
@@ -472,6 +491,8 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
             rr = rr * _ratio(pdfA_rev[j], pdfA_fwd[j])
             if (k - j) > NT + 1:
                 break
+            if not in_set(j, k - j):
+                continue
             if j == 0:
                 denom = denom + rr               # unidirectional: always on
             else:
