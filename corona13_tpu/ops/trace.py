@@ -39,7 +39,6 @@ from flax import struct
 
 from ..utils.math import dot, normalize
 from . import bvh as bvh_mod
-from . import trace_clusters as tc_mod
 
 INVALID_PRIM = jnp.int32(-1)
 MAX_DIST = jnp.float32(3.4e38)
@@ -64,19 +63,6 @@ def _use_pallas(tri_bvh) -> bool:
         return False
     from . import trace_pallas
     return trace_pallas.fits_vmem(tri_bvh)
-
-
-def _use_clusters(geom) -> bool:
-    """Route triangle traversal through the cluster-wavefront pipeline
-    (ops/trace_clusters.py).  Opt-in via CORONA13_CLUSTERS=1 while the
-    TPU validation of the pipeline is pending (round 3); flips to default
-    once BENCH numbers confirm it."""
-    if not os.environ.get('CORONA13_CLUSTERS'):
-        return False
-    if not _on_tpu():
-        return False
-    cs = geom.tri_clusters
-    return cs is not None and cs.tri_data.size * 4 <= 10 * (1 << 20)
 
 
 @struct.dataclass
@@ -142,9 +128,7 @@ class DeviceGeometry:
     tri_bvh: DeviceBVH
     sph_bvh: DeviceBVH
     line_bvh: DeviceBVH
-    # cluster-wavefront fast path (ops/trace_clusters.py) + global prim ->
-    # leaf-slot map so cluster hits shade through tri_bvh.leaf_shade
-    tri_clusters: 'tc_mod.ClusterSet' = None
+    # global prim id -> leaf-major slot map (shading by slot row)
     tri_prim_slot: jnp.ndarray = None
 
     @property
@@ -214,8 +198,7 @@ def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
     line_data = np.concatenate([line_vtx[:, 0], line_vtx[:, 1], line_radii],
                                axis=1) if L else np.zeros((0, 8), f32)
 
-    # cluster set for the wavefront fast path + prim -> leaf slot map
-    clusters = tc_mod.build_clusters(tri_v) if T else None
+    # prim -> leaf slot map
     prim_slot = np.full(max(T, 1), -1, np.int32)
     lp = tb.leaf_prims
     prim_slot[lp[lp >= 0]] = np.nonzero(lp >= 0)[0].astype(np.int32)
@@ -236,7 +219,6 @@ def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
                                     pack(tb, tri_shade, 17)),
         sph_bvh=DeviceBVH.from_host(sb, pack(sb, sph_data, 4)),
         line_bvh=DeviceBVH.from_host(lb, pack(lb, line_data, 8)),
-        tri_clusters=clusters,
         tri_prim_slot=jnp.asarray(prim_slot))
 
 
@@ -496,46 +478,6 @@ def _closest_select(tt, ok, t, prim, u, v, cand, uu=None, vv=None,
 
 
 
-def _cluster_closest(geom, org, direction, t, ig):
-    """Closest-hit tris through the cluster-wavefront pipeline, with the
-    packet kernel re-tracing overflow rays (> K_SLOTS clusters)."""
-    t2, prim2, u2, v2, _, ovf = tc_mod.traverse(
-        geom.tri_clusters, org, direction, t, ig)
-    from . import trace_pallas
-
-    def _run(o, d, tt, igp):
-        return trace_pallas.traverse_tris(
-            geom.tri_bvh.pnodes, geom.tri_bvh.plinks,
-            geom.tri_bvh.leaf_data, geom.tri_bvh.leaf_prims, o, d, tt, igp)
-    # the fallback wavefront is almost entirely dead (t_max = 0) and its
-    # Morton/alive sort groups dead tiles, which exit at the root
-    tf_, pf, uf, vf, _ = _sorted_traverse(
-        _run, geom.tri_bvh, org, direction, jnp.where(ovf, t, 0.0), ig)
-    t2 = jnp.where(ovf, tf_, t2)
-    prim2 = jnp.where(ovf, pf, prim2)
-    u2 = jnp.where(ovf, uf, u2)
-    v2 = jnp.where(ovf, vf, v2)
-    hslot = jnp.where(prim2 >= 0,
-                      geom.tri_prim_slot[jnp.maximum(prim2, 0)], -1)
-    return t2, prim2, u2, v2, hslot
-
-
-def _cluster_occluded(geom, org, direction, t, ig, ig2):
-    """Any-hit tris through the cluster pipeline + packet-kernel overflow."""
-    _, prim2, _, _, _, ovf = tc_mod.traverse(
-        geom.tri_clusters, org, direction, t, ig, ig2, any_hit=True)
-    from . import trace_pallas
-
-    def _run(o, d, tt, igp, igp2):
-        return trace_pallas.traverse_tris(
-            geom.tri_bvh.pnodes, geom.tri_bvh.plinks,
-            geom.tri_bvh.leaf_data, geom.tri_bvh.leaf_prims, o, d, tt,
-            igp, igp2, any_hit=True)
-    _, pf, _, _, _ = _sorted_traverse(
-        _run, geom.tri_bvh, org, direction, jnp.where(ovf, t, 0.0), ig, ig2)
-    return jnp.where(ovf, pf >= 0, prim2 >= 0)
-
-
 def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
               t_max=None) -> Hit:
     """Closest hit for a wavefront of rays.  org/dir: [N, 3].
@@ -567,10 +509,7 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
     ls = jnp.arange(bvh_mod.LEAF_SIZE)
 
     if geom.n_tris:
-        if _use_clusters(geom):
-            t, prim, u, v, hslot = _cluster_closest(geom, org, direction,
-                                                    t, ig)
-        elif _use_pallas(geom.tri_bvh):
+        if _use_pallas(geom.tri_bvh):
             from . import trace_pallas
 
             def _run(o, d, tt, igp):
@@ -674,10 +613,7 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
                 u, v, ex)
 
     if geom.n_tris:
-        if _use_clusters(geom):
-            prim = jnp.where(_cluster_occluded(geom, org, direction, t,
-                                               ig, ig2), 0, prim)
-        elif _use_pallas(geom.tri_bvh):
+        if _use_pallas(geom.tri_bvh):
             from . import trace_pallas
 
             def _run(o, d, tt, igp, igp2):
