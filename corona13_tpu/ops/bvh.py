@@ -216,6 +216,80 @@ def _build_bvh_native(p_min: np.ndarray, p_max: np.ndarray) -> FlatBVH | None:
                    n_prims=len(p_min))
 
 
+def collapse8(b: FlatBVH):
+    """Collapse the binary BVH into an 8-wide tree for the Pallas packet
+    kernel (ops/trace_pallas.py): per node, 8 child AABBs are tested in one
+    (8, 128) VPU op — sublanes = children, lanes = rays.
+
+    TPU-native re-expression of the reference's 4-wide QBVH
+    (src/accel.d/qbvhmp.c:62-81): the VPU's 8 sublanes set the branching
+    factor the way SSE's 4 lanes set the reference's.
+
+    Returns (wbounds, wlinks):
+      wbounds [Wn, 8, 8] f32: per child row [min3, max3, w, pad] where
+        w = 2^c for valid inner children and 256 * 2^c for leaf children
+        (0 for empty slots) — reducing hit(8,128)*w over all axes yields
+        one scalar whose low/high byte are the inner/leaf push bitmasks.
+      wlinks  [Wn * 8] i32: child links (wide node id or leaf id; which one
+        is resolved by the bitmask byte).
+    Empty child slots get inverted boxes and zero weights.
+    """
+    from collections import deque
+    left = np.where(b.node_first >= 0, -(b.node_first // LEAF_SIZE + 1),
+                    np.arange(len(b.node_first), dtype=np.int64) + 1)
+    right = b.node_right.astype(np.int64)
+    nmin, nmax = b.node_min, b.node_max
+    d = np.maximum(nmax - nmin, 0.0)
+    area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+    def children8(bn):
+        # greedily split the largest-area internal slot until 8 slots
+        slots = [bn]
+        while len(slots) < 8:
+            cands = [(area[s], i) for i, s in enumerate(slots) if left[s] >= 0]
+            if not cands:
+                break
+            _, i = max(cands)
+            s = slots.pop(i)
+            slots.extend([left[s], right[s]])
+        return slots
+
+    wide_children = []
+    order = []
+    wid_of = {}
+    if left[0] < 0:
+        # degenerate single-leaf tree: one wide node holding the leaf
+        wide_children.append([0])
+        order.append(0)
+    else:
+        queue = deque([0])
+        while queue:
+            bn = queue.popleft()
+            wid_of[bn] = len(order)
+            order.append(bn)
+            ch = children8(bn)
+            wide_children.append(ch)
+            for c in ch:
+                if left[c] >= 0:
+                    queue.append(c)
+    wn = len(order)
+    wbounds = np.zeros((wn, 8, 8), np.float32)
+    wbounds[:, :, 0:3] = 3.0e38
+    wbounds[:, :, 3:6] = -3.0e38
+    wlinks = np.zeros((wn, 8), np.int32)
+    for wi, ch in enumerate(wide_children):
+        for ci, c in enumerate(ch):
+            wbounds[wi, ci, 0:3] = nmin[c]
+            wbounds[wi, ci, 3:6] = nmax[c]
+            if left[c] < 0:
+                wbounds[wi, ci, 6] = float(256 * (1 << ci))
+                wlinks[wi, ci] = -left[c] - 1      # leaf id
+            else:
+                wbounds[wi, ci, 6] = float(1 << ci)
+                wlinks[wi, ci] = wid_of[c]
+    return wbounds, wlinks.reshape(-1)
+
+
 def tri_bounds(tri_vtx: np.ndarray, tri_vtx_t1: np.ndarray | None = None):
     """AABBs of triangles (union over shutter times, like the dual (t0,t1)
     node boxes in qbvhmp.c:62-81 but conservative)."""

@@ -68,12 +68,14 @@ def _use_pallas(tri_bvh) -> bool:
 @struct.dataclass
 class DeviceBVH:
     nodes: jnp.ndarray       # [n_nodes, 8] f32: min3, max3, i32 skip, i32 first
-    pnodes: jnp.ndarray      # [n_nodes, 8] packet layout: min3, max3, pad2
-    plinks: jnp.ndarray      # [n_nodes, 2] i32: left (or -(first+1)), right
     leaf_prims: jnp.ndarray  # [slots] i32 prim ids, padded with -1
     leaf_data: jnp.ndarray   # [slots, D] packed per-prim intersection data
     leaf_shade: jnp.ndarray  # [slots, 17] vn(9), uv(6), shader, quad_half —
     #   shading fetches become one contiguous row-gather by hit slot
+    # wide (BVH8) layout for the Pallas packet kernel (triangles only):
+    wbounds: jnp.ndarray = None   # [Wn, 8, 8] child boxes + push weights
+    wlinks: jnp.ndarray = None    # [Wn*8] i32 child links
+    leaf_packed: jnp.ndarray = None  # [n_leaves, 8, 16] v0,e1,e2,prim,pad
 
     @classmethod
     def from_host(cls, b: bvh_mod.FlatBVH, leaf_data: np.ndarray,
@@ -82,24 +84,25 @@ class DeviceBVH:
             b.node_min, b.node_max,
             b.node_skip[:, None].view(np.float32),
             b.node_first[:, None].view(np.float32)], axis=1)
-        is_leaf = b.node_first >= 0
-        # leaves store -(leaf_index+1); leaf_index rows into the 2D
-        # [n_leaves, LEAF*D] packed arrays (Mosaic-friendly row loads)
-        left = np.where(is_leaf, -(b.node_first // bvh_mod.LEAF_SIZE + 1),
-                        np.arange(len(b.node_first), dtype=np.int32) + 1)
-        ppacked = np.concatenate([
-            b.node_min, b.node_max,
-            np.zeros((len(left), 2), np.float32)], axis=1)
-        plinks = np.stack([left.astype(np.int32),
-                           b.node_right.astype(np.int32)], axis=1)
         if leaf_shade is None:
             leaf_shade = np.zeros((len(b.leaf_prims), 17), np.float32)
+        wbounds = wlinks = leaf_packed = None
+        if leaf_data.shape[-1] == 9 and len(b.leaf_prims):
+            # triangle BVH: build the wide layout for the packet kernel
+            wb, wl = bvh_mod.collapse8(b)
+            n_leaves = len(b.leaf_prims) // bvh_mod.LEAF_SIZE
+            lp = np.zeros((n_leaves, bvh_mod.LEAF_SIZE, 16), np.float32)
+            lp[:, :, 0:9] = leaf_data.reshape(n_leaves, bvh_mod.LEAF_SIZE, 9)
+            lp[:, :, 9] = b.leaf_prims.reshape(
+                n_leaves, bvh_mod.LEAF_SIZE).astype(np.float32)
+            wbounds = jnp.asarray(wb)
+            wlinks = jnp.asarray(wl)
+            leaf_packed = jnp.asarray(lp)
         return cls(nodes=jnp.asarray(packed),
-                   pnodes=jnp.asarray(ppacked),
-                   plinks=jnp.asarray(plinks),
                    leaf_prims=jnp.asarray(b.leaf_prims),
                    leaf_data=jnp.asarray(leaf_data),
-                   leaf_shade=jnp.asarray(leaf_shade))
+                   leaf_shade=jnp.asarray(leaf_shade),
+                   wbounds=wbounds, wlinks=wlinks, leaf_packed=leaf_packed)
 
     @property
     def n_nodes(self):
@@ -447,17 +450,30 @@ def _sort_keys(bvh, org, direction, t_act):
 
 def _sorted_traverse(fn, bvh, org, direction, t, *int_args):
     """Run the Pallas traversal with rays in Morton/octant order and
-    scatter results back.  fn(org, dir, t, *int_args) -> tuple of [N]."""
+    un-permute results.  fn(org, dir, t, *int_args) -> tuple of [N].
+
+    Cost discipline (measured on TPU v5e, 589k rays): a single gather by a
+    random index vector costs ~8 ms and a ``.at[].set`` scatter the same,
+    but one *variadic* ``lax.sort`` moving 12 payload columns costs ~8 ms
+    total — so both the forward permutation and the un-permutation ride
+    variadic sorts (keyed by the Morton code, then by the carried original
+    index) and no gather/scatter appears anywhere."""
     n = org.shape[0]
     if n < SORT_MIN_RAYS or os.environ.get('CORONA13_NO_SORT'):
         return fn(org, direction, t, *int_args)
     keys = _sort_keys(bvh, org, direction, t)
     iota = jnp.arange(n, dtype=jnp.int32)
-    _, perm = jax.lax.sort_key_val(keys, iota)
-    inv = jnp.zeros((n,), jnp.int32).at[perm].set(iota)
-    outs = fn(org[perm], direction[perm], t[perm],
-              *[a[perm] for a in int_args])
-    return tuple(o[inv] for o in outs)
+    cols = (org[:, 0], org[:, 1], org[:, 2],
+            direction[:, 0], direction[:, 1], direction[:, 2], t)
+    sorted_ = jax.lax.sort((keys,) + cols + tuple(int_args) + (iota,),
+                           num_keys=1)
+    ox, oy, oz, dx, dy, dz, ts = sorted_[1:8]
+    ints = sorted_[8:8 + len(int_args)]
+    perm = sorted_[-1]
+    outs = fn(jnp.stack([ox, oy, oz], axis=-1),
+              jnp.stack([dx, dy, dz], axis=-1), ts, *ints)
+    unsorted = jax.lax.sort((perm,) + tuple(outs), num_keys=1)
+    return tuple(unsorted[1:])
 
 
 def _closest_select(tt, ok, t, prim, u, v, cand, uu=None, vv=None,
@@ -514,9 +530,8 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
 
             def _run(o, d, tt, igp):
                 return trace_pallas.traverse_tris(
-                    geom.tri_bvh.pnodes, geom.tri_bvh.plinks,
-                    geom.tri_bvh.leaf_data, geom.tri_bvh.leaf_prims,
-                    o, d, tt, igp)
+                    geom.tri_bvh.wbounds, geom.tri_bvh.wlinks,
+                    geom.tri_bvh.leaf_packed, o, d, tt, igp)
             t, prim, u, v, hslot = _sorted_traverse(
                 _run, geom.tri_bvh, org, direction, t, ig)
         else:
@@ -618,9 +633,9 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
 
             def _run(o, d, tt, igp, igp2):
                 return trace_pallas.traverse_tris(
-                    geom.tri_bvh.pnodes, geom.tri_bvh.plinks,
-                    geom.tri_bvh.leaf_data, geom.tri_bvh.leaf_prims,
-                    o, d, tt, igp, igp2, any_hit=True)
+                    geom.tri_bvh.wbounds, geom.tri_bvh.wlinks,
+                    geom.tri_bvh.leaf_packed, o, d, tt, igp, igp2,
+                    any_hit=True)
             _, prim, _, _, _ = _sorted_traverse(
                 _run, geom.tri_bvh, org, direction, t, ig, ig2)
         else:

@@ -95,3 +95,62 @@ def test_sphere_intersection():
     np.testing.assert_allclose(np.asarray(hit.t)[0], 4.0, rtol=1e-5)
     assert np.asarray(hit.prim)[1] < 0
     assert np.asarray(hit.prim)[2] < 0
+
+
+def test_wide_kernel_interpret_matches_xla():
+    """The Pallas BVH8 packet kernel (interpret mode) against the XLA
+    skip-link traversal — covers the kernel logic on the CPU CI mesh."""
+    from corona13_tpu.ops import trace_pallas
+    tri_v = _random_tris(700, seed=11)
+    geom = _geom_from_tris(tri_v)
+    b = geom.tri_bvh
+    r = np.random.default_rng(4)
+    n = 300
+    org = r.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t0 = jnp.full((n,), 3.0e38, jnp.float32)
+    ig = jnp.full((n,), -1, jnp.int32)
+    t, prim, u, v, slot = trace_pallas.traverse_tris(
+        b.wbounds, b.wlinks, b.leaf_packed, jnp.asarray(org),
+        jnp.asarray(d), t0, ig, interpret=True)
+    hit = trace.intersect(geom, jnp.asarray(org), jnp.asarray(d))
+    assert (np.asarray(prim) == np.asarray(hit.prim)).mean() > 0.995
+    both = (np.asarray(prim) >= 0) & (np.asarray(hit.prim) >= 0)
+    np.testing.assert_allclose(np.asarray(t)[both],
+                               np.asarray(hit.t)[both], rtol=1e-4)
+    # u/v of agreeing hits match
+    agree = both & (np.asarray(prim) == np.asarray(hit.prim))
+    np.testing.assert_allclose(np.asarray(u)[agree],
+                               np.asarray(hit.u)[agree], atol=1e-4)
+    # any-hit agrees with closest-hit blocking
+    blocked, = trace_pallas.traverse_tris(
+        b.wbounds, b.wlinks, b.leaf_packed, jnp.asarray(org),
+        jnp.asarray(d), jnp.full((n,), 20.0, jnp.float32), ig,
+        any_hit=True, interpret=True)[1:2]
+    expect = np.asarray(hit.valid) & (np.asarray(hit.t) < 20.0)
+    assert ((np.asarray(blocked) >= 0) == expect).all()
+
+
+def test_wide_kernel_ignore_and_counters():
+    from corona13_tpu.ops import trace_pallas
+    tri_v = _random_tris(200, seed=13)
+    geom = _geom_from_tris(tri_v)
+    b = geom.tri_bvh
+    r = np.random.default_rng(7)
+    n = 200
+    org = r.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t0 = jnp.full((n,), 3.0e38, jnp.float32)
+    ig = jnp.full((n,), -1, jnp.int32)
+    t, prim, u, v, slot, iters, leafs = trace_pallas.traverse_tris(
+        b.wbounds, b.wlinks, b.leaf_packed, jnp.asarray(org),
+        jnp.asarray(d), t0, ig, interpret=True, want_counters=True)
+    assert int(iters.sum()) > 0 and int(leafs.sum()) > 0
+    # excluding each ray's hit prim removes it from the result
+    t2, prim2, *_ = trace_pallas.traverse_tris(
+        b.wbounds, b.wlinks, b.leaf_packed, jnp.asarray(org),
+        jnp.asarray(d), t0, prim, interpret=True)
+    both = (np.asarray(prim) >= 0) & (np.asarray(prim2) >= 0)
+    assert (np.asarray(prim)[both] != np.asarray(prim2)[both]).all()
