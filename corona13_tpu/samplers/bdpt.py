@@ -233,6 +233,15 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
     accum = jnp.zeros((n, mf))
     ones = jnp.ones((n, mf))
 
+    # MIS convention: the eye-side pdf of the camera-adjacent vertex
+    # (cam_pdf_proj, thinlens.c:104-107) folds the aperture-area pdf 1/A
+    # in, and the camera vertex itself carries no factor — but the t = 1
+    # technique samples its aperture point explicitly with pdf 1/A, so
+    # every ratio crossing between t = 1 and t >= 2 must reinstate that
+    # factor (reference: camera_pdf vs camera_pdf_connect conventions,
+    # thinlens.c:163-178 / :243).
+    inv_ap_area = 1.0 / camera_mod.aperture_area(scene.camera)
+
     # =====================================================================
     # s = 0: eye path hits an emitter (bdpt.c unidirectional strategy)
     # =====================================================================
@@ -273,8 +282,13 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
                 continue
             # j = k-1 is the t=1 camera-splat strategy — the camera vertex
             # is always connectable (aperture sampling, bdpt.c:376-402)
-            ok = conn[j - 1] if j == k - 1 else conn[j - 1] & conn[j]
-            denom = denom + jnp.where(ok[..., None], rr, 0.0)
+            # and contributes its explicit aperture pdf 1/A
+            if j == k - 1:
+                denom = denom + jnp.where(conn[j - 1][..., None],
+                                          rr * inv_ap_area, 0.0)
+            else:
+                ok = conn[j - 1] & conn[j]
+                denom = denom + jnp.where(ok[..., None], rr, 0.0)
         w = _ratio(ones, jnp.sum(denom, axis=-1, keepdims=True))
         w = jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
         accum = accum + jnp.where(emits[..., None], r['thr'] * le * w, 0.0)
@@ -399,9 +413,14 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
                     break
                 if not in_set(j, k - j):
                     continue
-                # j = k-1 = the t=1 camera splat (camera side always on)
-                ok = conn[j - 1] if j == k - 1 else conn[j - 1] & conn[j]
-                denom = denom + jnp.where(ok[..., None], rr, 0.0)
+                # j = k-1 = the t=1 camera splat (camera side always on,
+                # explicit aperture pdf 1/A)
+                if j == k - 1:
+                    denom = denom + jnp.where(conn[j - 1][..., None],
+                                              rr * inv_ap_area, 0.0)
+                else:
+                    ok = conn[j - 1] & conn[j]
+                    denom = denom + jnp.where(ok[..., None], rr, 0.0)
 
             w = _ratio(ones, jnp.sum(denom, axis=-1, keepdims=True))
             w = jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
@@ -473,8 +492,12 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
             pdfA_fwd[i] = ri['pdf_fwd_a']
             conn[i] = ri['connectable']
         # reverse pdf of the camera-adjacent vertex: camera direction pdf
-        # (proj solid angle, incl. film+aperture like camera_sample) x G
-        cam_rev = camera_mod.pdf_connect(scene.camera, cos_ap) * g_conn
+        # x G — WITHOUT the folded aperture pdf 1/A (pdf_v * G / g), so
+        # the ratio against this technique's own camera-vertex pdf 1/A
+        # (carried in cc.weight) is consistent: P_{t=2}/P_{t=1} =
+        # pdf_eye_folded(x_{k-2}) * A / pdf_light(x_{k-2})
+        cam_rev = (camera_mod.pdf_connect(scene.camera, cos_ap)
+                   * camera_mod.aperture_area(scene.camera) * g_conn)
         pdfA_rev[s - 1] = jnp.where(jnp.isfinite(cam_rev), cam_rev,
                                     0.0)[..., None] * ones
         if s >= 2:
