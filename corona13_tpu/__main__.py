@@ -32,7 +32,8 @@ def main(argv=None):
                    help='output basename')
     p.add_argument('-c', '--cam', default=None, help='.cam camera file')
     p.add_argument('--sampler', default='ptdl',
-                   choices=['pt', 'ptdl', 'lt', 'kmlt', 'vis'])
+                   choices=['pt', 'ptdl', 'lt', 'ptlt', 'bdpt', 'bdpt1',
+                            'kmlt', 'vis'])
     p.add_argument('--aov', default='normals',
                    choices=['normals', 'depth', 'prim', 'shader', 'uv'],
                    help='AOV kind for --sampler vis')
@@ -106,6 +107,33 @@ def main(argv=None):
             print(f'  [{s + 1 - fbf.spp}/{args.spp}] '
                   f'{(time.time() - t0) / (s + 1 - fbf.spp):.3f}s/frame')
         fbf.accumulate(np.asarray(acc), args.spp)
+    elif args.sampler in ('bdpt', 'ptlt'):
+        import jax
+        if args.sampler == 'bdpt':
+            from .samplers import bdpt as mod
+            step = jax.jit(lambda s: mod.render_sample(scene, cfg, s))
+        else:
+            from .samplers import ptlt as mod
+            step = jax.jit(lambda s: mod.render_sample(scene, cfg, s))
+        t0 = time.time()
+        acc = None
+        for s in range(fbf.spp, fbf.spp + args.spp):
+            out = step(jnp.uint32(s))
+            acc = out if acc is None else acc + out
+            print(f'  [{s + 1 - fbf.spp}/{args.spp}] '
+                  f'{(time.time() - t0) / (s + 1 - fbf.spp):.3f}s/frame')
+        fbf.accumulate(np.asarray(acc), args.spp)
+    elif args.sampler == 'bdpt1':
+        from .samplers import bdpt1 as bdpt1_mod
+        table = bdpt1_mod.ConfigTable.create(cfg)
+        acc = None
+        t0 = time.time()
+        for s in range(fbf.spp, fbf.spp + args.spp):
+            out, table = bdpt1_mod.render_sample(scene, cfg, s, table)
+            acc = np.asarray(out) if acc is None else acc + np.asarray(out)
+            print(f'  [{s + 1 - fbf.spp}/{args.spp}] '
+                  f'{(time.time() - t0) / (s + 1 - fbf.spp):.3f}s/frame')
+        fbf.accumulate(acc, args.spp)
     elif args.sampler == 'kmlt':
         from .samplers import kmlt as kmlt_mod
         import jax

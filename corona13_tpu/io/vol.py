@@ -176,6 +176,11 @@ def write_vol(path: str, density, temperature=None, aabb=None,
     if aabb is None:
         aabb = [0, 0, 0, res * voxel_size, res * voxel_size,
                 res * voxel_size]
+    else:
+        # the reference derives the voxel grid resolution from
+        # aabb extent / voxel_size (vol/types.h header contract), so an
+        # explicit aabb overrides the voxel size to keep res = 64
+        voxel_size = (float(aabb[3]) - float(aabb[0])) / res
 
     # depth-1 file: root node is a leaf whose 512 children are bricks
     bricks0 = []          # payload bricks of children 0..255

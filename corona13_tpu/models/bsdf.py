@@ -38,6 +38,9 @@ NULL = 3         # pass-through volume boundary (medium proxy shapes —
 #   the analogue of hitting a shape whose shader is a pure medium like
 #   medium_hete: no surface interaction, the ray continues straight and
 #   only the interior tracking changes)
+DIFFDIEL = 4     # diffuse-coated dielectric: fresnel-reflect (GGX/specular)
+#   or cosine-diffuse *transmit* into the interior (skin/subsurface proxy,
+#   reference src/shaders/diffdiel.c)
 
 # vertex mode bits (subset of reference pathspace.h:57-72)
 MODE_ABSORB = 0
@@ -352,6 +355,114 @@ def dielectric_eval_pdf(sp: ShadingPoint, wi, wo):
     return f, pdf
 
 
+# --- diffuse-coated dielectric (diffdiel) ----------------------------------
+
+def _diffdiel_fresnel(sp: ShadingPoint, cos_in):
+    """Non-reciprocal fresnel on the surface-normal cosine (reference
+    diffdiel.c:259-265: 'fake etas' n1 = eta_ratio, n2 = 1, R evaluated at
+    cos_in rather than the half-vector cosine)."""
+    n1, n2 = _dielectric_half_eta(sp)
+    nr = n1 / n2
+    cos_t2 = 1.0 - nr * nr * (1.0 - cos_in[..., None] ** 2)
+    cos_t = jnp.where(cos_t2 <= 0.0, 0.0,
+                      jnp.sqrt(jnp.maximum(cos_t2, 1e-12)))
+    return fresnel_dielectric(n1, n2, cos_in[..., None], cos_t)
+
+
+def diffdiel_sample(sp: ShadingPoint, wi, r1, r2, r_mode):
+    """Sample reflect (GGX / specular mirror) vs diffuse transmit
+    (reference diffdiel.c sample: reflect like dielectric, transmit =
+    cosine lobe *into* the surface with f = rg (1-R) / pi).
+
+    Returns (wo, pdf_proj[MF], weight[MF], is_specular, did_transmit)."""
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    r = sp.roughness
+    rr = jnp.maximum(r, GLOSSY_THR)
+    glossy = r > GLOSSY_THR
+    cos_in = -dot(n, wi)
+
+    u, v = build_onb(n)
+    wi_t = jnp.stack([-dot(u, wi), -dot(v, wi), cos_in], axis=-1)
+    h_t = ggx_sample_vndf(wi_t, rr, r1, r2)
+    h = jnp.where(glossy[..., None], from_frame(u, v, n, h_t), n)
+    cos_r = -dot(wi, h)
+    pdf_h = jnp.where(glossy, ggx_pdf_h(dot(h, n), cos_in, cos_r, rr), 1.0)
+
+    big_r = _diffdiel_fresnel(sp, cos_in)
+    r_hero = big_r[..., 0]
+    do_reflect = r_mode <= r_hero
+
+    # reflection branch (same shape as the dielectric reflect lobe)
+    wo_r = wi + 2.0 * cos_r[..., None] * h
+    cos_out_r = dot(wo_r, n)
+    ok_r = (cos_out_r > 0.0) & (cos_r > 0.0) & (cos_in > 0.0)
+    pdf_proj_r = jnp.where(
+        glossy[..., None],
+        big_r * (pdf_h / (4.0 * jnp.maximum(cos_r, 1e-12))
+                 / jnp.maximum(jnp.abs(cos_out_r), 1e-12))[..., None],
+        big_r)
+    g1_r = ggx_smith_g1(cos_out_r, rr)
+    w_r = jnp.where(glossy[..., None], sp.rg * g1_r[..., None], sp.rg)
+    w_r = jnp.where(ok_r[..., None], w_r, 0.0)
+
+    # diffuse transmission branch: cosine lobe around -n
+    phi = 2.0 * jnp.pi * r2
+    s = jnp.sqrt(r1)
+    z = jnp.sqrt(jnp.maximum(1.0 - r1, 0.0))
+    wo_t = (-z[..., None] * n + (s * jnp.cos(phi))[..., None] * u
+            + (s * jnp.sin(phi))[..., None] * v)
+    pdf_proj_t = (1.0 - big_r) / jnp.pi
+    ok_t = cos_in > 0.0
+    w_t = jnp.where(ok_t[..., None], sp.rg, 0.0)
+
+    wo = jnp.where(do_reflect[..., None], wo_r, wo_t)
+    pdf = jnp.where(do_reflect[..., None], pdf_proj_r, pdf_proj_t)
+    w = jnp.where(do_reflect[..., None], w_r, w_t)
+    is_spec = ~glossy & do_reflect
+    return wo, pdf, w, is_spec, ~do_reflect
+
+
+def diffdiel_eval_pdf(sp: ShadingPoint, wi, wo):
+    """Eval + pdf for connections (reference diffdiel.c brdf/pdf): the
+    diffuse transmit lobe always connects; the reflect lobe only when
+    glossy."""
+    n = jnp.where(sp.inside[..., None], -sp.n, sp.n)
+    r = sp.roughness
+    rr = jnp.maximum(r, GLOSSY_THR)
+    glossy = r > GLOSSY_THR
+    cos_in = -dot(n, wi)
+    cos_out = dot(n, wo)
+    big_r = _diffdiel_fresnel(sp, cos_in)
+
+    # reflect lobe (glossy only)
+    h = normalize(wi - wo)
+    h = jnp.where(dot(h, n)[..., None] < 0.0, -h, h)
+    cos_h = jnp.abs(dot(h, n))
+    cos_r = jnp.abs(dot(h, wi))
+    d = ggx_ndf(cos_h, rr)
+    g2 = ggx_smith_g1(cos_in, rr) * ggx_smith_g1(cos_out, rr)
+    f_refl = big_r * sp.rg * (d * g2 / jnp.maximum(
+        4.0 * jnp.abs(cos_in) * jnp.abs(cos_out), 1e-12))[..., None]
+    pdf_h = ggx_pdf_h(cos_h, cos_in, cos_r, rr)
+    pdf_refl = big_r * (pdf_h / jnp.maximum(
+        4.0 * cos_r * jnp.abs(cos_out), 1e-12))[..., None]
+    refl_ok = glossy & (cos_out > 0.0)
+
+    # diffuse transmit lobe
+    one_m_r = jnp.clip(1.0 - big_r, 0.0, 1.0)
+    f_trans = sp.rg * one_m_r / jnp.pi
+    pdf_trans = one_m_r / jnp.pi
+    trans_ok = cos_out < 0.0
+
+    f = jnp.where(refl_ok[..., None], f_refl,
+                  jnp.where(trans_ok[..., None], f_trans, 0.0))
+    pdf = jnp.where(refl_ok[..., None], pdf_refl,
+                    jnp.where(trans_ok[..., None], pdf_trans, 0.0))
+    valid = cos_in > 0.0
+    return (jnp.where(valid[..., None], f, 0.0),
+            jnp.where(valid[..., None], pdf, 0.0))
+
+
 # --- metal (conductor) -----------------------------------------------------
 
 def metal_sample(sp: ShadingPoint, wi, r1, r2):
@@ -406,7 +517,7 @@ def metal_eval_pdf(sp: ShadingPoint, wi, wo):
 
 # --- dispatch --------------------------------------------------------------
 
-ALL_KINDS = (DIFFUSE, DIELECTRIC, METAL)
+ALL_KINDS = (DIFFUSE, DIELECTRIC, METAL, DIFFDIEL)
 
 
 def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode, kinds=ALL_KINDS):
@@ -450,6 +561,17 @@ def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode, kinds=ALL_KINDS):
         m_mode = jnp.where(spec_m, MODE_SPECULAR, MODE_GLOSSY) | MODE_REFLECT
         mode = jnp.where(is_m, m_mode, mode)
 
+    if DIFFDIEL in kinds:
+        wo_s, pdf_s, w_s, spec_s, trans_s = diffdiel_sample(sp, wi, r1, r2,
+                                                            r_mode)
+        is_s = sp.kind == DIFFDIEL
+        wo = jnp.where(is_s[..., None], wo_s, wo)
+        pdf = jnp.where(is_s[..., None], pdf_s, pdf)
+        w = jnp.where(is_s[..., None], w_s, w)
+        s_mode = jnp.where(spec_s, MODE_SPECULAR,
+                           jnp.where(trans_s, MODE_DIFFUSE, MODE_GLOSSY)) | \
+            jnp.where(trans_s, MODE_TRANSMIT, MODE_REFLECT)
+        mode = jnp.where(is_s, s_mode, mode)
     if NULL in kinds:
         is_n = sp.kind == NULL
         wo = jnp.where(is_n[..., None], wi, wo)
@@ -480,4 +602,9 @@ def bsdf_eval_pdf(sp: ShadingPoint, wi, wo, kinds=ALL_KINDS):
         f_m, p_m = metal_eval_pdf(sp, wi, wo)
         f = jnp.where(is_m, f_m, f)
         pdf = jnp.where(is_m, p_m, pdf)
+    if DIFFDIEL in kinds:
+        is_s = (sp.kind == DIFFDIEL)[..., None]
+        f_s, p_s = diffdiel_eval_pdf(sp, wi, wo)
+        f = jnp.where(is_s, f_s, f)
+        pdf = jnp.where(is_s, p_s, pdf)
     return f, pdf

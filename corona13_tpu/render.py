@@ -63,6 +63,13 @@ def render(scene, cfg: pt_mod.PTConfig, spp: int = 16, batch: int = 0,
     if batch <= 0:
         batch = spp if cfg.width * cfg.height * spp <= (1 << 21) else 1
     batch = min(batch, spp)
+    if not cfg.media and (scene.has_hete
+                          or bool(np.any(np.asarray(
+                              scene.materials.med_enabled)))):
+        # the scene carries participating media: enable the media path so
+        # interior tracking + free flight actually run (forgetting the
+        # static flag silently rendered media-free)
+        cfg = cfg.replace(media=True)
     step = jax.jit(lambda sc, s: pt_mod.render_sample(sc, cfg, s, batch=batch))
     fb = jnp.zeros((cfg.height, cfg.width, 3))
     t0 = _time.time()

@@ -58,7 +58,8 @@ def _connectable(sp):
     rough = sp.roughness > bsdf_mod.GLOSSY_THR
     return (sp.kind == bsdf_mod.DIFFUSE) | \
         ((sp.kind == bsdf_mod.DIELECTRIC) & rough) | \
-        ((sp.kind == bsdf_mod.METAL) & rough)
+        ((sp.kind == bsdf_mod.METAL) & rough) | \
+        (sp.kind == bsdf_mod.DIFFDIEL)
 
 
 def _trace_subpath(scene, cfg, lam, org0, dir0, thr0, pdf_proj0, prev_n0,

@@ -74,9 +74,17 @@ def render_sample(scene, cfg: PTConfig, sample_idx, table: ConfigTable,
     """One bdpt1 progression: pick one strategy from the table, render it,
     update the table.  Returns (fb [H, W, 3], table)."""
     import jax.numpy as jnp
+    from ..ops import rng as rng_mod
     p = table.probs()
-    rng_ = np.random.default_rng(int(sample_idx))
-    idx = int(rng_.choice(len(p), p=p))
+    # strategy choice rides the framework's counter RNG keyed by the
+    # sample index (reproducible-by-construction, like every other
+    # dimension; the round-3 version used np.random here)
+    u = float(rng_mod.uniform(jnp.zeros((1,), jnp.uint32),
+                              jnp.uint32(sample_idx),
+                              int(rng_mod.Dim.LIGHTSOURCE) + 7919,
+                              cfg.seed)[0])
+    idx = int(np.searchsorted(np.cumsum(p), u * p.sum()))
+    idx = min(idx, len(p) - 1)
     s, t = table.strategies[idx]
     fb = bdpt_mod.render_sample(scene, cfg, jnp.uint32(sample_idx),
                                 batch=batch, only=(s, t))

@@ -36,7 +36,7 @@ SKY_CONST = 1
 SKY_CLOUDY = 2
 SKY_ENVMAP = 3
 
-from .models.bsdf import DIFFUSE, DIELECTRIC, METAL, NULL
+from .models.bsdf import DIFFUSE, DIELECTRIC, METAL, NULL, DIFFDIEL
 
 
 @struct.dataclass
@@ -206,6 +206,14 @@ def _apply_shader(desc, idx, sh, m: _ResolvedMat, is_host: bool):
             m.g_rgb = (1.0, 1.0, 1.0)
         if is_host:
             pass
+    elif name == 'diffdiel':
+        # diffdiel <n_d> [abbe]: diffuse-coated dielectric
+        # (src/shaders/diffdiel.c init)
+        m.kind = DIFFDIEL
+        m.ior_nd = float(a[0]) if a else 1.5
+        m.ior_abbe = float(a[1]) if len(a) > 1 else 50.0
+        if m.g_rgb == (0.0, 0.0, 0.0):
+            m.g_rgb = (1.0, 1.0, 1.0)
     elif name == 'metal' or name == 'mmetal':
         m.kind = METAL
         if a:

@@ -133,3 +133,31 @@ def test_metal_mirror_reflects():
     wo = np.asarray(wo)
     np.testing.assert_allclose(wo[:, 2], np.cos(np.radians(30)), atol=1e-5)
     np.testing.assert_allclose(wo[:, 0], np.sin(np.radians(30)), atol=1e-5)
+
+
+def test_diffdiel_consistency_rough():
+    _check_sample_pdf_consistency(bsdf.DIFFDIEL, 0.4)
+
+
+def test_diffdiel_consistency_near_smooth():
+    """Smooth reflect lobe goes specular; the transmit lobe (diffuse)
+    still passes eval/pdf consistency."""
+    _check_sample_pdf_consistency(bsdf.DIFFDIEL, 0.0)
+
+
+def test_diffdiel_transmits_diffusely():
+    """Transmission goes into the surface (cos_out < 0) with a cosine
+    lobe; reflection stays above (reference diffdiel.c sample)."""
+    sp = _make_sp(bsdf.DIFFDIEL, 0.2)
+    wi = _wi()
+    r1, r2, rm = _rands(11)
+    wo, pdf, w, mode = bsdf.bsdf_sample(sp, wi, r1, r2, rm)
+    live = np.asarray(jnp.any(w > 0, axis=-1))
+    trans = np.asarray((mode & bsdf.MODE_TRANSMIT) > 0) & live
+    refl = np.asarray((mode & bsdf.MODE_REFLECT) > 0) & live
+    cos_out = np.asarray(wo)[:, 2]
+    assert trans.mean() > 0.4          # 1-R dominates at n_d=1.5
+    assert (cos_out[trans] < 0).all()
+    assert (cos_out[refl] > 0).all()
+    # energy: weight bounded by rg for both branches
+    assert np.asarray(w).max() <= 1.0 + 1e-4

@@ -109,3 +109,62 @@ def test_bdpt_matches_reference(scene_0010, golden_0010):
     mean_rel = abs(img.mean() - golden_0010.mean()) / golden_0010.mean()
     assert rmse < 4.0, f'RMSE {rmse} vs reference gate 4.0'
     assert mean_rel < 0.08, f'mean energy off by {mean_rel:.1%}'
+
+
+# ---- distinct-scene gates (round 4): goldens rendered by the reference
+# binary built from /root/reference (scripts/build_reference.sh) on scene
+# assets synthesized in-repo (data/golden/scenes/ — the upstream data
+# tarball is unavailable offline, so smoke2.vol and the 0031 proxy/emitter
+# geo were generated with io/vol.py + io/geo.py and fed to BOTH renderers).
+
+GOLD31 = os.path.join(GOLDEN, '0031_hete.pfm')
+SCENE31 = os.path.join(GOLDEN, 'scenes', '0031_hete', 'test.nra2')
+GOLD30 = os.path.join(GOLDEN, '0030_subsurf.pfm')
+SCENE30 = os.path.join(GOLDEN, 'scenes', '0030_subsurf', 'test.nra2')
+
+
+def _down(img, f):
+    h, w, c = img.shape
+    return img.reshape(h // f, f, w // f, f, c).mean(axis=(1, 3))
+
+
+@pytest.mark.skipif(not os.path.exists(GOLD31), reason='no 0031 golden')
+def test_hete_matches_reference():
+    """0031_hete gate: heterogeneous smoke (grid medium, exterior panel
+    light) vs the reference's octree ratio-tracking render.  Measured
+    at this budget: rmse ~0.023, mean within ~4% (maxerror file says
+    0.008 at 64 spp full res; the gate below carries the low-spp noise
+    margin)."""
+    from corona13_tpu import scene as scene_mod, render as render_mod
+    from corona13_tpu.io import pfm as pfm_io
+    from corona13_tpu.samplers import pt as pt_mod
+    sc, _ = scene_mod.load_scene(SCENE31)
+    sc = scene_mod.fit_film(sc, 64, 40)
+    cfg = pt_mod.PTConfig(width=64, height=40, max_verts=12, mf=2,
+                          use_nee=True)
+    res = render_mod.render(sc, cfg, spp=16, batch=8)
+    gold = _down(pfm_io.read_pfm(GOLD31), 4)
+    rmse = pfm_io.rmse(res.image_xyz, gold)
+    mean_rel = abs(res.image_xyz.mean() - gold.mean()) / gold.mean()
+    assert rmse < 0.06, f'RMSE {rmse}'
+    assert mean_rel < 0.12, f'mean energy off by {mean_rel:.1%}'
+
+
+@pytest.mark.skipif(not os.path.exists(GOLD30), reason='no 0030 golden')
+def test_subsurf_matches_reference():
+    """0030_subsurf gate: diffdiel skin sphere with scattering interior
+    (medium_rgb) vs the reference.  Reference maxerror = 0.35; measured
+    at this budget: rmse ~0.07, mean within ~0.2%."""
+    from corona13_tpu import scene as scene_mod, render as render_mod
+    from corona13_tpu.io import pfm as pfm_io
+    from corona13_tpu.samplers import pt as pt_mod
+    sc, _ = scene_mod.load_scene(SCENE30)
+    sc = scene_mod.fit_film(sc, 128, 80)
+    cfg = pt_mod.PTConfig(width=128, height=80, max_verts=8, mf=4,
+                          use_nee=True)
+    res = render_mod.render(sc, cfg, spp=12, batch=4)
+    gold = _down(pfm_io.read_pfm(GOLD30), 2)
+    rmse = pfm_io.rmse(res.image_xyz, gold)
+    mean_rel = abs(res.image_xyz.mean() - gold.mean()) / gold.mean()
+    assert rmse < 0.2, f'RMSE {rmse} vs reference gate 0.35'
+    assert mean_rel < 0.05, f'mean energy off by {mean_rel:.1%}'
