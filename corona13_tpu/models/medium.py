@@ -128,3 +128,44 @@ def hg_sample(g, wi, r1, r2):
           + (sin_t * jnp.cos(phi))[..., None] * u
           + (sin_t * jnp.sin(phi))[..., None] * v)
     return normalize(wo), hg_phase(g, cos_t)
+
+
+# --- nested-media priority stack -------------------------------------------
+# The reference resolves overlapping media with a per-path stack where the
+# smallest shape id wins (_path_edge_medium, src/pathspace.c:80-115).  The
+# wavefront analogue is a small fixed-depth sorted *set* of interior
+# material ids per lane: push on entering transmission, pop on exiting,
+# current medium = the minimum id (materials are declared in shape-priority
+# order in .nra2 scenes).  EMPTY slots sort to the top.
+
+MED_STACK_DEPTH = 4
+MED_EMPTY = 0x7fffffff
+
+
+def stack_init(template):
+    """Empty stack [N, D] carrying the varying axes of ``template`` [N]."""
+    return (template[..., None] * 0 + MED_EMPTY) * jnp.ones(
+        (MED_STACK_DEPTH,), jnp.int32)
+
+
+def stack_current(stack):
+    """Active interior material id per lane (-1 = vacuum)."""
+    m = jnp.min(stack, axis=-1)
+    return jnp.where(m == MED_EMPTY, -1, m)
+
+
+def stack_push(stack, mat, do):
+    """Insert ``mat`` where ``do``; on overflow the largest id (lowest
+    priority) falls off."""
+    entry = jnp.where(do, mat, MED_EMPTY)
+    ext = jnp.concatenate([stack, entry[..., None]], axis=-1)
+    ext = jnp.sort(ext, axis=-1)
+    return ext[..., :MED_STACK_DEPTH]
+
+
+def stack_pop(stack, mat, do):
+    """Remove one instance of ``mat`` where ``do``."""
+    hit = stack == mat[..., None]
+    first = (jnp.cumsum(hit.astype(jnp.int32), axis=-1) == 1) & hit
+    rm = first & do[..., None]
+    return jnp.sort(jnp.where(rm, MED_EMPTY, stack), axis=-1)

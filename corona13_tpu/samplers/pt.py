@@ -172,7 +172,14 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         accum=thr0 * 0.0,
         length=izero + 1,             # vertices so far (camera = 1)
         nrays=izero,                  # traced rays (extend + shadow)
-        in_medium=izero + INVALID_PRIM,  # interior material id (-1 vacuum)
+        # nested-media priority stack (smallest material id wins; the
+        # reference's _path_edge_medium shape-priority stack,
+        # pathspace.c:80-115); scene.exterior_med pre-fills slot 0
+        # (shader_exterior_medium, shader.c:544-562)
+        med_stack=medium_mod.stack_push(
+            medium_mod.stack_init(izero),
+            izero + max(scene.exterior_med, 0),
+            izero == (0 if scene.exterior_med >= 0 else 1)),
     )
     # camera lambert: the reference uses hit.n of the aperture vertex; our
     # pdf_proj already excludes it — prev_n only feeds G, so store cam n:
@@ -183,6 +190,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         alive = state['alive']
         org = state['org']
         d = state['dir']
+        cur_med = medium_mod.stack_current(state['med_stack'])
         # dead lanes trace with t_max = 0: the slab test fails at the root
         # and they fall straight through the traversal
         hit = intersect(scene.geom, org, d, ignore_prim=state['prev_prim'],
@@ -194,7 +202,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         if cfg.media:
             r_free = rnd(rng.Dim.FREE_PATH, salt=1 + depth, family='ext')
             scat, vdist, w_med = medium_mod.sample_dist_scene(
-                scene, state['in_medium'], lam, org, d, hit.t, r_free)
+                scene, cur_med, lam, org, d, hit.t, r_free)
             scat = scat & alive
             w_med = jnp.where(jnp.isfinite(w_med), w_med, 0.0)
             thr_in = state['thr'] * jnp.where(alive[..., None], w_med, 1.0)
@@ -208,6 +216,18 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         # vertices (pathspace.c:856-873, shader.c:62-64) — an infinite x
         # would breed NaNs that poison gradients through masked products
         t_park = jnp.where(hit.valid, hit.t, 1e4)
+
+        # --- emissive grid medium: analytic T-weighted blackbody integral
+        # along the whole segment (scattering stays MC; the decomposition
+        # L = int T (sigma_e rho Le) dt + [sampled scatter/surface part]
+        # is exact — reference SEGMENT_EMISSION, include/vol/trace.h:27-33)
+        em_vol = None
+        if cfg.media and scene.has_hete and scene.has_vol_emission:
+            from ..models import medium_hete as hete_mod
+            in_h = alive & (cur_med == scene.vol.mat_id)
+            e_seg = hete_mod.emission_along(scene.vol, org, d, t_park, lam)
+            e_seg = jnp.where(jnp.isfinite(e_seg), e_seg, 0.0)
+            em_vol = jnp.where(in_h[..., None], state['thr'] * e_seg, 0.0)
         x = org + t_park[..., None] * d
         sp = shading_mod.prepare(scene, hit, x, d, lam)
 
@@ -219,7 +239,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             # per-lane distance pdfs of the free flight enter the vertex
             # pdf like the reference's volume pdf terms (vol distance pdf
             # = sigma_t*T at scatter, survival T at the surface)
-            st_med = medium_mod.sigma_t(scene.materials, state['in_medium'],
+            st_med = medium_mod.sigma_t(scene.materials, cur_med,
                                         lam)
             d_eff = jnp.minimum(jnp.where(scat, vdist, hit.t), 1e4)
             tr_pdf = jnp.exp(-st_med * d_eff[..., None])
@@ -230,7 +250,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
                 # factor is constant across lanes and cancels in the
                 # normalized hero-MIS products — carry 1 instead of
                 # re-marching the grid for mu_t * T
-                in_h = state['in_medium'] == scene.vol.mat_id
+                in_h = cur_med == scene.vol.mat_id
                 pdf_area = jnp.where((in_h & scat)[..., None], 1.0,
                                      pdf_area)
                 pdf_area = jnp.where((in_h & ~scat)[..., None],
@@ -276,6 +296,8 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         contrib = thr_in * le * w
         accum = state['accum'] + jnp.where(emits[..., None], contrib, 0.0) \
             + accum_sky
+        if em_vol is not None:
+            accum = accum + em_vol
 
         # update hero pdf product with this vertex (normalized, see module doc)
         pdf_prod = state['pdf_prod'] * pdf_area
@@ -285,7 +307,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         # --- volume scatter vertex position + phase setup (cfg.media)
         if cfg.media:
             xv = org + vdist[..., None] * d
-            g_hg = scene.materials.med_g[jnp.maximum(state['in_medium'], 0)]
+            g_hg = scene.materials.med_g[jnp.maximum(cur_med, 0)]
             x_nee = jnp.where(scat[..., None], xv, x)
         else:
             xv = x
@@ -357,7 +379,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
                 # segment (homogeneous or grid; boundary crossings are
                 # blocked by path_visible semantics anyway)
                 tr_nee = medium_mod.transmittance_scene(
-                    scene, state['in_medium'], lam, x_nee, wo, dist)
+                    scene, cur_med, lam, x_nee, wo, dist)
                 val = val * tr_nee
             # MIS vs bsdf extension (ptdl.c:141-145): pdfs in area measure
             pdf_ext_area = pdf_bsdf_proj * g_nee[..., None]
@@ -451,17 +473,19 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         new_org = ray_offset(x, wo)
         new_prev_n = sp.n
         new_prev_prim = hit.prim
-        new_med = state['in_medium']
+        new_med = state['med_stack']
         if cfg.media:
-            # interior transitions on transmission (single-level nesting;
-            # the reference's priority stack _path_edge_medium,
-            # pathspace.c:80-115, generalizes this)
+            # interior transitions on transmission through the priority
+            # stack (reference _path_edge_medium, pathspace.c:80-115):
+            # entering pushes the shape's interior, exiting pops it
             mat = jnp.clip(scene.prim_shader[jnp.maximum(hit.prim, 0)], 0,
                            scene.materials.kind.shape[0] - 1)
             has_med = scene.materials.med_enabled[mat] & valid
             transmitted = (mode & bsdf_mod.MODE_TRANSMIT) > 0
-            new_med = jnp.where(has_med & transmitted,
-                                jnp.where(sp.inside, -1, mat), new_med)
+            new_med = medium_mod.stack_push(
+                new_med, mat, has_med & transmitted & ~sp.inside)
+            new_med = medium_mod.stack_pop(
+                new_med, mat, has_med & transmitted & sp.inside)
             new_org = jnp.where(scat[..., None], xv, new_org)
             # volume vertices have no cosine: prev_n = wo makes the next
             # segment's near-lambert exactly 1 (path_lambert convention)
@@ -479,7 +503,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             accum=accum,
             length=new_len,
             nrays=nrays,
-            in_medium=new_med,
+            med_stack=new_med,
         )
         # keep dead lanes' accum/ray counts, freeze the rest
         out = {k: jnp.where(_bmask(alive, new_state[k]), new_state[k], state[k])

@@ -125,6 +125,14 @@ class Scene:
     kinds_used: tuple = struct.field(pytree_node=False, default=(0, 1, 2))
     has_envmap: bool = struct.field(pytree_node=False, default=False)
     has_hete: bool = struct.field(pytree_node=False, default=False)
+    # grid medium emits (sigma_e > 0): samplers add the analytic
+    # T-weighted blackbody integral per segment (vol/trace.h
+    # SEGMENT_EMISSION)
+    has_vol_emission: bool = struct.field(pytree_node=False, default=False)
+    # global exterior medium material id (`exterior <shader>` scene line,
+    # reference shader_exterior_medium, src/shader.c:544-562): camera and
+    # light paths start inside this medium (-1 = vacuum)
+    exterior_med: int = struct.field(pytree_node=False, default=-1)
     has_textures: bool = struct.field(pytree_node=False, default=False)
 
     def with_envmap(self, rgb):
@@ -158,6 +166,14 @@ class _ResolvedMat:
     tex_mul: float = 1.0
     # conductor ior table name (metal <name>, src/shaders/metal.c)
     metal_name: str = 'default'
+
+
+def _exterior_med(desc: nra2_io.SceneDesc) -> int:
+    """Material id of the `exterior <shader>` line's target (-1 none)."""
+    for sh in desc.shaders:
+        if sh.name == 'exterior' and sh.args:
+            return int(sh.args[0])
+    return -1
 
 
 def _resolve_materials(desc: nra2_io.SceneDesc) -> list[_ResolvedMat]:
@@ -235,7 +251,9 @@ def _apply_shader(desc, idx, sh, m: _ResolvedMat, is_host: bool):
         m.med_g = float(a[0]) if a else 0.0
         m.med_enabled = True
     elif name == 'exterior':
-        # exterior <medium shader id> ... : attach like interior
+        # exterior <medium shader id> [light]: sets the scene's global
+        # exterior medium (shader.c:699-708); picked up scene-wide by
+        # _exterior_med, and the medium props also resolve into this row
         if a:
             pi = int(a[0])
             _apply_shader(desc, pi, desc.shaders[pi], m, is_host=False)
@@ -495,6 +513,7 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
     # like the single vol tree per shader in the reference)
     vol_grid = None
     has_hete = False
+    has_vol_emission = False
     for mi, m in enumerate(mats):
         if not m.hete_file:
             continue
@@ -511,6 +530,7 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
         vol_grid = hete_mod.from_volfile(vol_io.read_vol(vp), s_s, s_t, s_e,
                                          g0, mat_id=mi)
         has_hete = True
+        has_vol_emission = s_e > 0.0
         break
 
     scene = Scene(geom=geom, materials=materials, lights=lights,
@@ -518,6 +538,8 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
                   sky_kind=jnp.int32(sky_kind),
                   sky_coeff=jnp.asarray(sc[0]), sky_mul=jnp.asarray(sm[0]),
                   vol=vol_grid, has_hete=has_hete,
+                  has_vol_emission=has_vol_emission,
+                  exterior_med=_exterior_med(desc),
                   tex_atlas=tex_atlas, tex_dims=tex_dims,
                   has_textures=has_textures,
                   kinds_used=tuple(sorted({m.kind for m in mats})))

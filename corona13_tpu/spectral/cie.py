@@ -101,3 +101,20 @@ def mutate_lambda(lam: jnp.ndarray, r: jnp.ndarray, step: float = 50.0) -> tuple
     l2 = jnp.where(l2 > LAMBDA_MAX, 2.0 * LAMBDA_MAX - l2, l2)
     pdf = jnp.full_like(l2, 0.5 / step)
     return l2, pdf
+
+
+def blackbody(temp: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Planck spectral radiance [W/m^2/sr/nm] at temperature ``temp`` [K]
+    and wavelength ``lam`` [nm], matching the reference's convention
+    (include/vol/shaders.h:24-47 — note it omits the factor 2 of the
+    textbook 2hc^2 numerator; we reproduce that so emissive volumes
+    match).  temp <= 0 emits nothing."""
+    h = 6.62606957e-34
+    c = 299792458.0
+    k = 1.3807e-23
+    lam5 = lam ** 5
+    c1 = 1e45 * h * c * c / jnp.maximum(lam5, 1e-20)
+    t_safe = jnp.maximum(temp, 1.0)
+    c2 = (h * c * 1e9 / k) / (lam * t_safe)
+    val = c1 / jnp.maximum(jnp.exp(jnp.minimum(c2, 80.0)) - 1.0, 1e-30) * 1e-9
+    return jnp.where(temp > 0.0, val, 0.0)

@@ -2,6 +2,7 @@
 transmittance, and end-to-end interior media in the path tracer."""
 
 import jax.numpy as jnp
+import dataclasses
 import numpy as np
 
 from corona13_tpu import render as render_mod
@@ -114,3 +115,88 @@ def test_subsurf_scene_finite():
     img = render_mod.render(sc, cfg, spp=8).image_xyz
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_media_stack_semantics():
+    """Priority-stack push/pop/current (reference _path_edge_medium,
+    src/pathspace.c:80-115: smallest id wins)."""
+    import jax.numpy as jnp
+    from corona13_tpu.models import medium as m
+    n = 4
+    t = jnp.zeros((n,), jnp.int32)
+    st = m.stack_init(t)
+    assert (np.asarray(m.stack_current(st)) == -1).all()
+    yes = jnp.ones((n,), bool)
+    no = jnp.zeros((n,), bool)
+    st = m.stack_push(st, t + 5, yes)
+    assert (np.asarray(m.stack_current(st)) == 5).all()
+    st = m.stack_push(st, t + 2, yes)          # higher priority (smaller)
+    assert (np.asarray(m.stack_current(st)) == 2).all()
+    st = m.stack_push(st, t + 7, no)           # masked: no-op
+    assert (np.asarray(m.stack_current(st)) == 2).all()
+    st = m.stack_pop(st, t + 2, yes)           # leave inner -> back to 5
+    assert (np.asarray(m.stack_current(st)) == 5).all()
+    st = m.stack_pop(st, t + 5, yes)
+    assert (np.asarray(m.stack_current(st)) == -1).all()
+    # duplicate entries pop one at a time
+    st = m.stack_push(st, t + 3, yes)
+    st = m.stack_push(st, t + 3, yes)
+    st = m.stack_pop(st, t + 3, yes)
+    assert (np.asarray(m.stack_current(st)) == 3).all()
+
+
+def test_nested_media_transmittance():
+    """0090_vstack analogue: two nested NULL-boundary boxes with different
+    absorbing interiors; the inner (smaller material id) wins in the
+    overlap and the outer resumes after exit.  Expected pixel value =
+    sky * exp(-(0.1*2 + 0.5*6 + 0.1*2) * 0.1-scaled...) computed below."""
+    import jax.numpy as jnp
+    from corona13_tpu import testing, scene as scene_mod
+    from corona13_tpu.samplers import pt as pt_mod
+
+    def box(z0, z1, s):
+        lo = np.array([-s, -s, z0], np.float32)
+        hi = np.array([s, s, z1], np.float32)
+        c = np.array([[lo[0],lo[1],lo[2]],[hi[0],lo[1],lo[2]],
+                      [hi[0],hi[1],lo[2]],[lo[0],hi[1],lo[2]],
+                      [lo[0],lo[1],hi[2]],[hi[0],lo[1],hi[2]],
+                      [hi[0],hi[1],hi[2]],[lo[0],hi[1],hi[2]]], np.float32)
+        f = [(0,2,1),(0,3,2),(4,5,6),(4,6,7),(0,1,5),(0,5,4),
+             (2,3,7),(2,7,6),(1,2,6),(1,6,5),(0,4,7),(0,7,3)]
+        return c[np.array(f)]
+
+    M = scene_mod._ResolvedMat
+    # mat 0 = inner medium boundary (sigma 0.125), mat 1 = outer (0.05)
+    mats = [M(kind=scene_mod.NULL, med_mfp_rgb=(8.0, 8.0, 8.0),
+              med_albedo_rgb=(0, 0, 0), med_enabled=True),
+            M(kind=scene_mod.NULL, med_mfp_rgb=(20.0, 20.0, 20.0),
+              med_albedo_rgb=(0, 0, 0), med_enabled=True)]
+    tri_inner = box(12.0, 18.0, 4.0)
+    tri_outer = box(10.0, 20.0, 6.0)
+    tri = np.concatenate([tri_inner, tri_outer])
+    shs = np.array([0] * 12 + [1] * 12, np.int32)
+    from corona13_tpu.io import cam as cam_io
+    cam = cam_io.CameraData(
+        pos=np.zeros(3, np.float32), pos_t1=np.zeros(3, np.float32),
+        orient=np.array([1, 0, 0, 0], np.float32),
+        orient_t1=np.array([1, 0, 0, 0], np.float32), focus=15.0)
+    sc = testing.assemble_scene(tri, shs, mats, cam, sky_rgb=(1.0, 1.0, 1.0))
+    cfg = pt_mod.PTConfig(width=16, height=12, max_verts=8, mf=2,
+                          media=True, use_nee=False)
+    # baseline: identical geometry, media disabled (pure pass-through) —
+    # normalizes away the camera's cos^4 vignetting per pixel
+    mats0 = [dataclasses.replace(m, med_enabled=False) for m in mats]
+    sc0 = testing.assemble_scene(tri, shs, mats0, cam, sky_rgb=(1, 1, 1))
+    fb = 0.0
+    fb0 = 0.0
+    spp = 96
+    for s in range(spp // 8):
+        fb = fb + np.asarray(pt_mod.render_sample(sc, cfg, jnp.uint32(s),
+                                                  batch=8))
+        fb0 = fb0 + np.asarray(pt_mod.render_sample(sc0, cfg, jnp.uint32(s),
+                                                    batch=8))
+    # center pixels: straight through both boxes; absorbing media kill
+    # paths stochastically, so compare means over many progressions
+    ratio = fb[4:8, 6:10, 1].mean() / fb0[4:8, 6:10, 1].mean()
+    tau = 0.05 * 2.0 + 0.125 * 6.0 + 0.05 * 2.0
+    np.testing.assert_allclose(ratio, np.exp(-tau), rtol=0.15)
