@@ -1,7 +1,7 @@
 import functools
 import jax, jax.numpy as jnp
 import numpy as np
-from corona13_tpu import testing
+from corona13_tpu import testing, scene as scene_mod
 from corona13_tpu.samplers import pt as pt_mod
 P = functools.partial(print, flush=True)
 
@@ -9,7 +9,7 @@ CFG = pt_mod.PTConfig(width=24, height=16, max_verts=4, mf=2, use_nee=True)
 CFG_MED = pt_mod.PTConfig(width=24, height=16, max_verts=5, mf=2,
                           use_nee=True, media=True)
 
-def fd_vs_ad(f, eps=1e-3, navg=4):
+def fd_vs_ad(f, eps=1e-3, navg=2):
     def favg(t):
         return sum(float(f(jnp.float32(t), jnp.uint32(i))) for i in range(navg)) / navg
     g = sum(float(jax.grad(lambda t: f(t, jnp.uint32(i)))(jnp.float32(1.0)))
@@ -19,8 +19,6 @@ def fd_vs_ad(f, eps=1e-3, navg=4):
     return g, fd, rel
 
 sc_glossy = testing.cornell_scene(sphere='metal')
-P('scene kinds', sc_glossy.kinds_used)
-
 def f_rough(t, s):
     sc = sc_glossy.replace(materials=sc_glossy.materials.replace(
         roughness=sc_glossy.materials.roughness * t))
@@ -34,23 +32,24 @@ def f_ior(t, s):
     return jnp.mean(pt_mod.render_sample(sc, CFG, s))
 P('ior_nd:', fd_vs_ad(f_ior))
 
-sc_med = testing.cornell_scene(sphere='subsurf')
+sc_fog = testing.cornell_scene(sphere='subsurf')
 def f_sigt(t, s):
-    sc = sc_med.replace(materials=sc_med.materials.replace(
-        med_mut_mul=sc_med.materials.med_mut_mul * t))
+    sc = sc_fog.replace(materials=sc_fog.materials.replace(
+        med_mut_mul=sc_fog.materials.med_mut_mul * t))
     return jnp.mean(pt_mod.render_sample(sc, CFG_MED, s))
-P('med sigma_t:', fd_vs_ad(f_sigt))
+P('med sigma_t:', fd_vs_ad(f_sigt, eps=5e-3))
 
 def f_g(t, s):
-    sc = sc_med.replace(materials=sc_med.materials.replace(
-        med_g=sc_med.materials.med_g * 0.0 + 0.3 * t))
+    sc = sc_fog.replace(materials=sc_fog.materials.replace(
+        med_g=sc_fog.materials.med_g * t))
     return jnp.mean(pt_mod.render_sample(sc, CFG_MED, s))
-P('med hg g:', fd_vs_ad(f_g))
+P('med hg g:', fd_vs_ad(f_g, eps=5e-3))
 
 base = testing.cornell_scene()
+off = jnp.array([0.3, 0.2, 0.5])
 def f_campos(t, s):
     cam = base.camera
-    sc = base.replace(camera=cam.replace(pos=cam.pos * t))
+    sc = base.replace(camera=cam.replace(pos=cam.pos + (t - 1.0) * off))
     return jnp.mean(pt_mod.render_sample(sc, CFG, s))
 P('camera pos:', fd_vs_ad(f_campos, eps=3e-3))
 

@@ -580,6 +580,23 @@ def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode, kinds=ALL_KINDS):
         mode = jnp.where(is_n, MODE_SPECULAR | MODE_TRANSMIT, mode)
 
     mode = jnp.where(jnp.any(w > 0.0, axis=-1), mode, MODE_ABSORB)
+
+    # detached-estimator weights: the analytic f/p simplifications above
+    # cancel parameter dependence (e.g. VNDF weight rg*G1 drops the
+    # fresnel, so d/d(ior) == 0 and d/d(roughness) is wrong-signed).  For
+    # connectable (non-specular) lanes recompute w = f / stop_grad(p)
+    # through the eval path: the primal value is identical (f/p equals
+    # the simplified ratio), but gradients w.r.t. roughness/IOR/albedo
+    # now match d/dtheta of the integrand at fixed sample locations —
+    # the unbiased detached estimator (BASELINE.md gradient gate).
+    f_at, p_at = bsdf_eval_pdf(sp, wi, wo, kinds=kinds)
+    p_det = jax.lax.stop_gradient(p_at)
+    w_att = jnp.where(p_det > 0.0, f_at / jnp.where(p_det > 0.0, p_det, 1.0),
+                      0.0)
+    use_att = (((mode & MODE_SPECULAR) == 0) & ((mode & MODE_ABSORB) == 0)
+               & (mode != 0))[..., None] & (p_det > 0.0) \
+        & jnp.isfinite(w_att)
+    w = jnp.where(use_att, w_att, w)
     return wo, pdf, w, mode.astype(jnp.int32)
 
 

@@ -63,16 +63,23 @@ def sample_dist(materials, med, lam, t_hit, rnd):
     st_h = st[..., 0]
     in_med = (med >= 0) & (st_h > 0.0)
     st_h_safe = jnp.where(in_med, st_h, 1.0)
-    dist = -jnp.log(jnp.maximum(1.0 - rnd, 1e-20)) / st_h_safe
+    # the sampled distance is a *sampling decision* — detached like BSDF
+    # directions, so gradients w.r.t. sigma flow through the weight's
+    # numerator at fixed sample locations (detached estimator)
+    dist = jax.lax.stop_gradient(
+        -jnp.log(jnp.maximum(1.0 - rnd, 1e-20)) / st_h_safe)
     scatter = in_med & (dist < t_hit)
-    d_eff = jnp.where(scatter, dist, t_hit)
+    d_eff = jnp.where(scatter, dist, jax.lax.stop_gradient(t_hit))
     d_eff = jnp.minimum(d_eff, 1e4)
     tr = jnp.exp(-st * d_eff[..., None])         # per-lane transmittance
     ss = sigma_s(materials, med, lam)
-    # scatter: sigma_s_l * T_l / (sigma_t_h * T_h); surface: T_l / T_h
-    pdf_scatter = st_h_safe[..., None] * tr[..., 0:1]
+    # scatter: sigma_s_l * T_l / (sigma_t_h * T_h); surface: T_l / T_h —
+    # pdf denominators are detached VALUES (f / sg(p)) so d/d(sigma) of
+    # the weight matches the integrand derivative, not an analytic cancel
+    pdf_scatter = jax.lax.stop_gradient(
+        st_h_safe[..., None] * tr[..., 0:1])
     w_scatter = ss * tr / jnp.maximum(pdf_scatter, 1e-30)
-    w_surface = tr / jnp.maximum(tr[..., 0:1], 1e-30)
+    w_surface = tr / jnp.maximum(jax.lax.stop_gradient(tr[..., 0:1]), 1e-30)
     w = jnp.where(scatter[..., None], w_scatter, w_surface)
     w = jnp.where(in_med[..., None], w, 1.0)
     return scatter, dist, w

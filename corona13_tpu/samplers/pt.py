@@ -435,7 +435,12 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             wo = jnp.where(scat[..., None], wo_v, wo)
             pdf_proj_new = jnp.where(scat[..., None], pdf_v[..., None],
                                      pdf_proj_new)
-            bsdf_w = jnp.where(scat[..., None], 1.0, bsdf_w)
+            # phase weight = phase / sg(pdf): primal 1 (perfect importance
+            # sampling) but gradients w.r.t. the HG mean cosine flow
+            ph_v = medium_mod.hg_phase(g_hg, dot(jax.lax.stop_gradient(wo_v),
+                                                 jax.lax.stop_gradient(d)))
+            w_v = ph_v / jnp.maximum(jax.lax.stop_gradient(pdf_v), 1e-20)
+            bsdf_w = jnp.where(scat[..., None], w_v[..., None], bsdf_w)
             mode = jnp.where(scat,
                              bsdf_mod.MODE_VOLUME | bsdf_mod.MODE_DIFFUSE,
                              mode)

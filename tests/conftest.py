@@ -6,8 +6,16 @@ on real TPU hardware.
 """
 
 import os
+import sys
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# drop the axon TPU plugin from the import path entirely: when the device
+# tunnel is wedged, even plugin *discovery* blocks forever, freezing
+# CPU-only test runs
+sys.path[:] = [p for p in sys.path if '.axon_site' not in p]
+os.environ['PYTHONPATH'] = ':'.join(
+    p for p in os.environ.get('PYTHONPATH', '').split(':')
+    if '.axon_site' not in p)
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
