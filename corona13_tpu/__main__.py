@@ -33,7 +33,7 @@ def main(argv=None):
     p.add_argument('-c', '--cam', default=None, help='.cam camera file')
     p.add_argument('--sampler', default='ptdl',
                    choices=['pt', 'ptdl', 'lt', 'ptlt', 'bdpt', 'bdpt1',
-                            'kmlt', 'vis'])
+                            'kmlt', 'ppm', 'vis'])
     p.add_argument('--aov', default='normals',
                    choices=['normals', 'depth', 'prim', 'shader', 'uv'],
                    help='AOV kind for --sampler vis')
@@ -134,6 +134,18 @@ def main(argv=None):
             print(f'  [{s + 1 - fbf.spp}/{args.spp}] '
                   f'{(time.time() - t0) / (s + 1 - fbf.spp):.3f}s/frame')
         fbf.accumulate(acc, args.spp)
+    elif args.sampler == 'ppm':
+        from .samplers import ppm as ppm_mod
+        import jax
+        step = jax.jit(lambda s: ppm_mod.render_sample(scene, cfg, s))
+        acc = None
+        t0 = time.time()
+        for s in range(fbf.spp, fbf.spp + args.spp):
+            out = step(jnp.uint32(s))
+            acc = out if acc is None else acc + out
+            print(f'  [{s + 1 - fbf.spp}/{args.spp}] '
+                  f'{(time.time() - t0) / (s + 1 - fbf.spp):.3f}s/frame')
+        fbf.accumulate(np.asarray(acc), args.spp)
     elif args.sampler == 'kmlt':
         from .samplers import kmlt as kmlt_mod
         import jax

@@ -111,7 +111,14 @@ def photon_pass(scene, cfg: PTConfig, sample_idx, n_paths, n_bounces):
         return out, rec
 
     _, recs = jax.lax.scan(bounce, state, jnp.arange(n_bounces))
-    flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in recs.items()}
+    # flatten PATH-major, not depth-major: lax.scan stacks records
+    # [n_bounces, n_paths]; a depth-major flatten would make the stable
+    # cell sort keep the lowest-bounce (highest-power) photons first in
+    # every dense cell, biasing the cnt/K subsample rescale upward.  Path
+    # index is iid and uncorrelated with photon power, so path-major order
+    # makes the kept-K prefix an unbiased subsample.
+    flat = {k: v.swapaxes(0, 1).reshape((-1,) + v.shape[2:])
+            for k, v in recs.items()}
     return flat
 
 
@@ -167,12 +174,21 @@ def gather(scene, sorted_ph, cid_s, x, n_gather, mat, r, lo, cell,
                     ok = cid_s[idx] == cid
                     dp = sorted_ph['pos'][idx] - x
                     ok &= jnp.sum(dp * dp, axis=-1) < r2
+                    # disc gather: reject photons off the tangent plane
+                    # (sphere gathers double-count photons on adjacent
+                    # perpendicular surfaces near corners)
+                    ok &= jnp.abs(dot(dp, n_gather)) < 0.1 * r
                     # photon must arrive from the gather surface's front
                     ok &= dot(sorted_ph['wi'][idx], n_gather) < 0.0
                     lam_p = sorted_ph['lam'][idx]
                     alb = (m.d_mul[mat, None] * rgb2spec.eval_coeff(
                         m.d_coeff[mat][..., None, :], lam_p))
-                    contrib = sorted_ph['power'][idx] * alb / jnp.pi
+                    # 1/mf hero-lane normalization: each photon lane is an
+                    # independent full-magnitude estimate at its own
+                    # wavelength (cf. lt.py val/mf); spectral_to_xyz is a
+                    # SUM over lanes, so average them here
+                    mf_p = lam_p.shape[-1]
+                    contrib = sorted_ph['power'][idx] * alb / (jnp.pi * mf_p)
                     xyz = cie.spectral_to_xyz(lam_p, contrib)
                     acc = acc + jnp.where(ok[..., None], xyz, 0.0)
     return acc / (jnp.pi * r2 * n_emitted)
@@ -182,8 +198,8 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
                   n_photon_paths: int = 0, radius: float = 0.0):
     """One PPM progression; returns the XYZ accumulation FB [H, W, 3].
 
-    radius = 0 picks r_i = 1%% scene extent * (i+1)^((ALPHA-1)/2)
-    (progressive shrink); n_photon_paths defaults to the pixel count."""
+    radius = 0 picks r_i = 2.5%% scene extent * (i+1)^((ALPHA-1)/2)
+    (progressive shrink); n_photon_paths defaults to 2x the pixel count."""
     n = cfg.width * cfg.height * batch
     pixel_idx = jnp.tile(jnp.arange(cfg.width * cfg.height,
                                     dtype=jnp.uint32), batch)
@@ -191,14 +207,14 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
     mf = cfg.mf
 
     if n_photon_paths <= 0:
-        n_photon_paths = cfg.width * cfg.height
+        n_photon_paths = 2 * cfg.width * cfg.height
     n_bounces = max(cfg.max_verts - 1, 2)
     photons = photon_pass(scene, cfg, sample_idx, n_photon_paths, n_bounces)
 
     ext = _scene_extent(scene)
     if radius <= 0.0:
         i1 = jnp.asarray(sample_idx, jnp.float32) + 1.0
-        r = 0.01 * ext * i1 ** ((ALPHA - 1.0) / 2.0)
+        r = 0.025 * ext * i1 ** ((ALPHA - 1.0) / 2.0)
     else:
         r = jnp.asarray(radius, jnp.float32)
     cell = 2.0 * r
@@ -271,7 +287,9 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
         d = wo
         prev_prim = hit.prim
 
-    accum_xyz = accum_xyz + cie.spectral_to_xyz(lam, accum_spec)
+    # 1/mf for the directly-collected spectral part as well (hero lanes
+    # are averaged, mirroring lt.py:74's val/mf)
+    accum_xyz = accum_xyz + cie.spectral_to_xyz(lam, accum_spec / mf)
     accum_xyz = jnp.where(jnp.isfinite(accum_xyz), accum_xyz, 0.0)
     from ..ops import splat as splat_mod
     fb = jnp.zeros((cfg.height, cfg.width, 3))
