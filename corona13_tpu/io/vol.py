@@ -179,8 +179,14 @@ def write_vol(path: str, density, temperature=None, aabb=None,
     else:
         # the reference derives the voxel grid resolution from
         # aabb extent / voxel_size (vol/types.h header contract), so an
-        # explicit aabb overrides the voxel size to keep res = 64
-        voxel_size = (float(aabb[3]) - float(aabb[0])) / res
+        # explicit aabb overrides the voxel size to keep res = 64; the
+        # single scalar voxel size in the header requires a cubic box
+        ext = [float(aabb[3 + a]) - float(aabb[a]) for a in range(3)]
+        if max(ext) - min(ext) > 1e-5 * max(ext):
+            raise ValueError(
+                f'write_vol needs a cubic aabb (one header voxel size); '
+                f'got extents {ext}')
+        voxel_size = ext[0] / res
 
     # depth-1 file: root node is a leaf whose 512 children are bricks
     bricks0 = []          # payload bricks of children 0..255

@@ -232,6 +232,10 @@ def collapse8(b: FlatBVH):
         one scalar whose low/high byte are the inner/leaf push bitmasks.
       wlinks  [Wn * 8] i32: child links (wide node id or leaf id; which one
         is resolved by the bitmask byte).
+      depth   int: max wide-tree depth — the traversal stack worst case is
+        depth * 7 + 8 entries (each inner pop nets at most +7); callers
+        must fall back to the XLA path when that exceeds the kernel's
+        MAX_STACK (silent SMEM stack overflow otherwise).
     Empty child slots get inverted boxes and zero weights.
     """
     from collections import deque
@@ -257,6 +261,8 @@ def collapse8(b: FlatBVH):
     wide_children = []
     order = []
     wid_of = {}
+    depth_of = {0: 1}
+    max_depth = 1
     if left[0] < 0:
         # degenerate single-leaf tree: one wide node holding the leaf
         wide_children.append([0])
@@ -271,6 +277,8 @@ def collapse8(b: FlatBVH):
             wide_children.append(ch)
             for c in ch:
                 if left[c] >= 0:
+                    depth_of[c] = depth_of[bn] + 1
+                    max_depth = max(max_depth, depth_of[c])
                     queue.append(c)
     wn = len(order)
     wbounds = np.zeros((wn, 8, 8), np.float32)
@@ -287,7 +295,7 @@ def collapse8(b: FlatBVH):
             else:
                 wbounds[wi, ci, 6] = float(1 << ci)
                 wlinks[wi, ci] = wid_of[c]
-    return wbounds, wlinks.reshape(-1)
+    return wbounds, wlinks.reshape(-1), max_depth
 
 
 def tri_bounds(tri_vtx: np.ndarray, tri_vtx_t1: np.ndarray | None = None):

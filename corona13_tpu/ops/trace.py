@@ -89,15 +89,21 @@ class DeviceBVH:
         wbounds = wlinks = leaf_packed = None
         if leaf_data.shape[-1] == 9 and len(b.leaf_prims):
             # triangle BVH: build the wide layout for the packet kernel
-            wb, wl = bvh_mod.collapse8(b)
+            wb, wl, wdepth = bvh_mod.collapse8(b)
             n_leaves = len(b.leaf_prims) // bvh_mod.LEAF_SIZE
             lp = np.zeros((n_leaves, bvh_mod.LEAF_SIZE, 16), np.float32)
             lp[:, :, 0:9] = leaf_data.reshape(n_leaves, bvh_mod.LEAF_SIZE, 9)
             lp[:, :, 9] = b.leaf_prims.reshape(
                 n_leaves, bvh_mod.LEAF_SIZE).astype(np.float32)
-            wbounds = jnp.asarray(wb)
-            wlinks = jnp.asarray(wl)
-            leaf_packed = jnp.asarray(lp)
+            # stack-overflow guard: each inner pop pushes <= 8 (net +7),
+            # so worst case is depth * 7 + 8 entries; a deeper (degenerate)
+            # tree must take the XLA skip-link path instead of silently
+            # overflowing the kernel's SMEM stack
+            from . import trace_pallas
+            if wdepth * 7 + 8 <= trace_pallas.MAX_STACK:
+                wbounds = jnp.asarray(wb)
+                wlinks = jnp.asarray(wl)
+                leaf_packed = jnp.asarray(lp)
         return cls(nodes=jnp.asarray(packed),
                    leaf_prims=jnp.asarray(b.leaf_prims),
                    leaf_data=jnp.asarray(leaf_data),

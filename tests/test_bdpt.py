@@ -2,10 +2,13 @@
 0014_bdpt coverage — same scene family, statistical comparison)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from corona13_tpu.samplers import bdpt as bdpt_mod
 from corona13_tpu.samplers import pt as pt_mod
+
+pytestmark = pytest.mark.slow
 
 
 def _mean_image(render, cfg, scene, samples, batch):

@@ -3,11 +3,14 @@ table (reference src/sampler.d/bdpt1.c; regression 0021_bdpt1 shares the
 0010_pt scene)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from corona13_tpu.samplers import bdpt as bdpt_mod
 from corona13_tpu.samplers import bdpt1 as bdpt1_mod
 from corona13_tpu.samplers import pt as pt_mod
+
+pytestmark = pytest.mark.slow
 
 
 def test_bdpt1_deterministic(cornell):

@@ -16,10 +16,13 @@ import pytest
 GOLDEN = os.path.join(os.path.dirname(__file__), '..', 'data', 'golden')
 SCENE = '/root/reference/regression/0010_pt/test.nra2'
 
-pytestmark = pytest.mark.skipif(
-    not (os.path.exists(SCENE)
-         and os.path.exists(os.path.join(GOLDEN, '0010_pt.pfm'))),
-    reason='reference scene or golden render not available')
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not (os.path.exists(SCENE)
+             and os.path.exists(os.path.join(GOLDEN, '0010_pt.pfm'))),
+        reason='reference scene or golden render not available'),
+]
 
 
 @pytest.fixture(scope='module')

@@ -16,6 +16,8 @@ import pytest
 from corona13_tpu import testing
 from corona13_tpu.samplers import pt as pt_mod
 
+pytestmark = pytest.mark.slow
+
 CFG = pt_mod.PTConfig(width=24, height=16, max_verts=4, mf=2, use_nee=True)
 
 

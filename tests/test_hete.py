@@ -4,9 +4,12 @@ semantics on a constant-density grid)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from corona13_tpu.io import vol as vol_io
 from corona13_tpu.models import medium_hete as hete
+
+pytestmark = pytest.mark.slow
 
 
 def _const_grid(rho=1.0, sigma_t=2.0, sigma_s=1.0):

@@ -2,10 +2,13 @@
 coverage as a statistical test) and chain mechanics."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from corona13_tpu.samplers import kmlt as kmlt_mod
 from corona13_tpu.samplers import pt as pt_mod
+
+pytestmark = pytest.mark.slow
 
 
 def test_mutation_kernel_stays_in_unit_interval():

@@ -2,11 +2,14 @@
 suite's 0012_lt coverage, as a statistical test)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from corona13_tpu import testing
 from corona13_tpu.samplers import lt as lt_mod
 from corona13_tpu.samplers import pt as pt_mod
+
+pytestmark = pytest.mark.slow
 
 
 def test_lt_matches_pt(cornell):

@@ -2,6 +2,7 @@
 transmittance, and end-to-end interior media in the path tracer."""
 
 import jax.numpy as jnp
+import pytest
 import dataclasses
 import numpy as np
 
@@ -9,6 +10,8 @@ from corona13_tpu import render as render_mod
 from corona13_tpu import testing
 from corona13_tpu.models import medium
 from corona13_tpu.samplers import pt as pt_mod
+
+pytestmark = pytest.mark.slow
 
 
 def _mats_with_medium(mfp=(2.0, 2.0, 2.0), albedo=(0.8, 0.8, 0.8), g=0.0):

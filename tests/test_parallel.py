@@ -10,6 +10,8 @@ from corona13_tpu.parallel import shard
 from corona13_tpu.samplers import pt as pt_mod
 from corona13_tpu import render as render_mod
 
+pytestmark = pytest.mark.slow
+
 
 def _cpus():
     return jax.devices('cpu')

@@ -2,10 +2,13 @@
 0015_ppm coverage — same scene family)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from corona13_tpu.samplers import ppm as ppm_mod
 from corona13_tpu.samplers import pt as pt_mod
+
+pytestmark = pytest.mark.slow
 
 
 def test_ppm_matches_pt(cornell):

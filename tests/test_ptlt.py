@@ -4,10 +4,13 @@ Reference analogue: src/sampler.d/ptlt.c gated by regression/0013_ptlt
 (same scene as 0010_pt)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from corona13_tpu.samplers import ptlt as ptlt_mod
 from corona13_tpu.samplers import pt as pt_mod
+
+pytestmark = pytest.mark.slow
 
 
 def _mean_image(render, cfg, scene, samples, batch):
