@@ -141,7 +141,11 @@ def prepare(scene, hit, x, wi, lam) -> ShadingPoint:
     rd = jnp.clip(rd, 0.0, 1.0)
     use_ck = m.use_checker[mat]
     ck = checker_albedo(m.checker_spectra, st, lam)
-    rd = jnp.where(use_ck[..., None], ck, rd)
+    # d_mul scales the checker path too: the mult-chain weight lands in
+    # d_mul at load (io/nra2.py), and it keeps the diffuse-albedo
+    # parameter live for inverse rendering on checker scenes (0010_pt)
+    rd = jnp.where(use_ck[..., None], jnp.clip(m.d_mul[mat, None] * ck,
+                                               0.0, 1.0), rd)
     rg = jnp.clip(m.g_mul[mat, None]
                   * rgb2spec.eval_coeff(m.g_coeff[mat][..., None, :], lam), 0.0, 1.0)
     em = m.e_mul[mat, None] * rgb2spec.eval_coeff(m.e_coeff[mat][..., None, :], lam)

@@ -94,3 +94,34 @@ def train_step(scene, cfg: pt_mod.PTConfig, mesh: Mesh, target, theta,
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(theta)
+
+
+def apply_theta(scene, theta):
+    """Apply a realistic inverse-rendering parameter pytree to the scene:
+    per-material albedo multipliers (the 'albedo map' of the optimization),
+    a medium extinction scale, emission scale, and camera focus — the
+    shader/medium/camera parameter classes of the BASELINE gradient gate."""
+    mats = scene.materials.replace(
+        d_mul=scene.materials.d_mul * theta['d_mul'],
+        e_mul=scene.materials.e_mul * theta['e_mul'],
+        med_mut_mul=scene.materials.med_mut_mul * theta['med_sigma'])
+    cam = scene.camera.replace(focus=scene.camera.focus * theta['focus'])
+    return scene.replace(materials=mats, camera=cam)
+
+
+def train_step_theta(scene, cfg: pt_mod.PTConfig, mesh: Mesh, target, theta,
+                     sample_base=0):
+    """value_and_grad of the L2 loss w.r.t. the full ``apply_theta`` pytree
+    (albedo vector + medium sigma_t + emission + focus), rendered over the
+    mesh.  The shard_map transpose all-reduces the parameter gradients.
+    Returns ((loss, rendered_img), grads) — the image rides along for
+    checkpointing without a second render."""
+    spp = mesh.shape['sp']
+
+    def loss_fn(th):
+        sc = apply_theta(scene, th)
+        fb = render_samples_sharded(sc, cfg, mesh, sample_base)
+        img = fb * (scene.camera.iso / (100.0 * spp))
+        return jnp.mean((img - target) ** 2), img
+
+    return jax.value_and_grad(loss_fn, has_aux=True)(theta)

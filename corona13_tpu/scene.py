@@ -214,6 +214,11 @@ def _apply_shader(desc, idx, sh, m: _ResolvedMat, is_host: bool):
             m.roughness = rough
     elif name == 'colorcheckersg':
         m.use_checker = True
+        # neutral diffuse base: rd = d_mul * chart reflectance, so d_mul
+        # fits to 1 and stays a live albedo multiplier for inverse
+        # rendering (a black d slot would zero the chart)
+        if m.d_rgb == (0.0, 0.0, 0.0):
+            m.d_rgb = (1.0, 1.0, 1.0)
     elif name == 'dielectric':
         m.kind = DIELECTRIC
         m.ior_nd = float(a[0])
