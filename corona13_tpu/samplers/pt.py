@@ -53,6 +53,13 @@ class PTConfig:
     media: bool = struct.field(pytree_node=False, default=False)
     # enable homogeneous participating media (free-flight sampling + HG
     # phase + interior tracking); static so media-free scenes compile lean
+    compact: tuple = struct.field(pytree_node=False, default=None)
+    # optional per-depth wavefront capacity fractions (len = max_verts-1,
+    # first entry 1.0).  When set, the bounce loop unrolls with a sorted
+    # compaction between depths: dead lanes stop paying dense BSDF/NEE/
+    # splat work.  Unbiased: if the alive count exceeds a depth's
+    # capacity, a uniformly-random subset survives reweighted by K/C
+    # (stochastic capping).  None = dense lax.scan (default).
 
 
 def _hero_mis(pdf_prod_prev, our_pdf, other_pdf):
@@ -136,6 +143,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             col = N_CAM_DIMS + N_BOUNCE_DIMS * depth + slot
             return jax.lax.dynamic_index_in_dim(u, col, axis=1,
                                                 keepdims=False)
+    _rnd_u = rnd  # the MLT-replay stream for the (scan-only) u path
 
     # --- camera start (path_extend v==0 branch, pathspace.c:211-247)
     jx = rnd(rng.Dim.IMAGE_X)
@@ -160,7 +168,10 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
     izero = ((pixel_idx + jnp.asarray(sample_idx, jnp.uint32))
              & jnp.uint32(0)).astype(jnp.int32)
     thr0 = jnp.broadcast_to(cam_thr[..., None], (n, mf))
+    sidx_arr = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
+                                pixel_idx.shape)
     state = dict(
+        pix=pixel_idx, sidx=sidx_arr, lam=lam,
         org=org, dir=direction,
         thr=thr0,
         pdf_proj=jnp.broadcast_to(cam_pdf_proj[..., None], (n, mf)),
@@ -190,6 +201,16 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         alive = state['alive']
         org = state['org']
         d = state['dir']
+        lam = state['lam']
+        if u is None:
+            # read RNG streams through the state's own pixel/sample ids so
+            # the body stays correct when the compacting driver permutes
+            # and shrinks the wavefront between depths
+            def rnd(dim, salt=0, family='cam'):
+                return rng.sample_dim(ps, state['pix'], state['sidx'],
+                                      dim + 101 * salt, cfg.seed)
+        else:
+            rnd = _rnd_u
         cur_med = medium_mod.stack_current(state['med_stack'])
         # dead lanes trace with t_max = 0: the slab test fails at the root
         # and they fall straight through the traversal
@@ -207,7 +228,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             w_med = jnp.where(jnp.isfinite(w_med), w_med, 0.0)
             thr_in = state['thr'] * jnp.where(alive[..., None], w_med, 1.0)
         else:
-            scat = alive & (izero > 0)  # all-False, varying
+            scat = alive & (state['length'] < 0)  # all-False, varying
             vdist = hit.t
             thr_in = state['thr']
 
@@ -510,6 +531,10 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             nrays=nrays,
             med_stack=new_med,
         )
+        # per-lane constants ride along unchanged (compaction permutes them)
+        for k in ('pix', 'sidx', 'lam', 'orig'):
+            if k in state:
+                new_state[k] = state[k]
         # keep dead lanes' accum/ray counts, freeze the rest
         out = {k: jnp.where(_bmask(alive, new_state[k]), new_state[k], state[k])
                if k not in ('accum', 'nrays') else new_state[k]
@@ -520,12 +545,79 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         extra = ref.ndim - m.ndim
         return m.reshape(m.shape + (1,) * extra)
 
-    # lax.scan over bounces (static length = max_verts - 1 segments)
-    def scan_body(st, depth):
-        return bounce(st, depth)
+    if cfg.compact is None or u is not None:
+        # lax.scan over bounces (static length = max_verts - 1 segments)
+        def scan_body(st, depth):
+            return bounce(st, depth)
 
-    state, _ = jax.lax.scan(scan_body, state, jnp.arange(cfg.max_verts - 1))
-    return state['accum'], lam, pix_i, pix_j, state
+        state, _ = jax.lax.scan(scan_body, state, jnp.arange(cfg.max_verts - 1))
+        return state['accum'], lam, pix_i, pix_j, state
+
+    # --- compacting driver (cfg.compact): unrolled bounces with a sorted
+    # compaction between depths.  Dead lanes stop paying the dense BSDF/
+    # NEE/splat cost: depth d runs on cap_d = round(compact[d] * n) lanes.
+    # Unbiased: survivors of a capacity overflow are a uniformly-random
+    # subset (random sort key) reweighted by K/C.
+    caps = cfg.compact
+    if len(caps) != cfg.max_verts - 1 or abs(caps[0] - 1.0) > 1e-6:
+        raise ValueError('cfg.compact needs max_verts-1 entries, first 1.0')
+    accum_fb = jnp.zeros((n, mf))
+    nray_tot = jnp.zeros((), jnp.int32)
+    state['orig'] = jnp.arange(n, dtype=jnp.int32)
+
+    def _bank(state, accum_fb, nray_tot):
+        accum_fb = accum_fb.at[state['orig']].add(state['accum'])
+        nray_tot = nray_tot + jnp.sum(state['nrays'])
+        return accum_fb, nray_tot
+
+    for depth in range(cfg.max_verts - 1):
+        cap_n = min(n, max(128, -(-int(round(caps[depth] * n)) // 128)
+                           * 128))
+        n_cur = state['alive'].shape[0]
+        if cap_n < n_cur:
+            accum_fb, nray_tot = _bank(state, accum_fb, nray_tot)
+            alive = state['alive']
+            k_alive = jnp.sum(alive.astype(jnp.int32))
+            r = rng.sample_dim(ps, state['pix'], state['sidx'],
+                               9000 + depth, cfg.seed)
+            key = jnp.where(alive, r, 2.0)       # dead lanes sort last
+            _, perm = jax.lax.sort(
+                (key, jnp.arange(n_cur, dtype=jnp.int32)), num_keys=1)
+            perm = perm[:cap_n]
+            state = {k: v[perm] for k, v in state.items()}
+            state['accum'] = jnp.zeros((cap_n, mf))
+            state['nrays'] = jnp.zeros((cap_n,), jnp.int32)
+            # stochastic capping reweight (only != 1 when K > cap)
+            scale = jax.lax.stop_gradient(jnp.maximum(
+                1.0, k_alive.astype(jnp.float32) / cap_n))
+            state['thr'] = state['thr'] * scale
+        state, _ = bounce(state, depth)
+    accum_fb, nray_tot = _bank(state, accum_fb, nray_tot)
+    pseudo = {'nrays': nray_tot[None], 'alive': state['alive']}
+    return accum_fb, lam, pix_i, pix_j, pseudo
+
+
+def alive_profile(scene, cfg: PTConfig, sample_idx):
+    """Per-depth alive lane counts [max_verts-1] of one progression — the
+    occupancy data behind a cfg.compact capacity schedule (and the
+    path-length histogram of the reference sidecar, view.c:758-790).
+
+    A lane that traced k extension segments ends with length = k + 1, so
+    the count of lanes alive entering depth d equals #{length - 1 >= d+1}
+    for d >= 1 (depth 0 is all camera rays).
+    """
+    n = cfg.width * cfg.height
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+
+    @jax.jit
+    def run(sc, s, pix):
+        cfg_d = cfg.replace(compact=None)
+        *_, state = _sample_paths_full(sc, cfg_d, s, pix)
+        lengths = state['length'] - 1       # segments traced per lane
+        depth_idx = jnp.arange(cfg.max_verts - 1)
+        return jnp.sum(lengths[None, :] > depth_idx[:, None], axis=1)
+
+    return run(scene, sample_idx, pixel_idx)
 
 
 def count_rays(scene, cfg: PTConfig, sample_idx, pixel_idx):
