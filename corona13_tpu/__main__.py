@@ -33,7 +33,7 @@ def main(argv=None):
     p.add_argument('-c', '--cam', default=None, help='.cam camera file')
     p.add_argument('--sampler', default='ptdl',
                    choices=['pt', 'ptdl', 'lt', 'ptlt', 'bdpt', 'bdpt1',
-                            'kmlt', 'ppm', 'vis'])
+                            'kmlt', 'vmlt', 'ppm', 'vis'])
     p.add_argument('--aov', default='normals',
                    choices=['normals', 'depth', 'prim', 'shader', 'uv'],
                    help='AOV kind for --sampler vis')
@@ -146,8 +146,11 @@ def main(argv=None):
             print(f'  [{s + 1 - fbf.spp}/{args.spp}] '
                   f'{(time.time() - t0) / (s + 1 - fbf.spp):.3f}s/frame')
         fbf.accumulate(np.asarray(acc), args.spp)
-    elif args.sampler == 'kmlt':
-        from .samplers import kmlt as kmlt_mod
+    elif args.sampler in ('kmlt', 'vmlt'):
+        if args.sampler == 'kmlt':
+            from .samplers import kmlt as kmlt_mod
+        else:
+            from .samplers import vmlt as kmlt_mod
         import jax
         step = jax.jit(lambda s: kmlt_mod.render_sample(scene, cfg, s))
         acc = None

@@ -74,9 +74,18 @@ class ShadingPoint:
 
 def fresnel_dielectric(n1, n2, cos_r, cos_t):
     """Unpolarized dielectric fresnel; returns 1 for TIR (cos_t <= 0)
-    (reference dielectric.c:83-96)."""
-    rs = (n1 * cos_r - n2 * cos_t) / (n1 * cos_r + n2 * cos_t)
-    rp = (n2 * cos_r - n1 * cos_t) / (n2 * cos_r + n1 * cos_t)
+    (reference dielectric.c:83-96).
+
+    Division-safe: at cos_r == cos_t == 0 (grazing + TIR boundary on a
+    masked lane) the naive ratios are 0/0, whose NaN poisons the shared
+    per-material IOR gradient through the reverse pass even when the lane
+    is where()-masked downstream."""
+    ds = n1 * cos_r + n2 * cos_t
+    dp = n2 * cos_r + n1 * cos_t
+    ds = jnp.where(jnp.abs(ds) > 1e-12, ds, 1e-12)
+    dp = jnp.where(jnp.abs(dp) > 1e-12, dp, 1e-12)
+    rs = (n1 * cos_r - n2 * cos_t) / ds
+    rp = (n2 * cos_r - n1 * cos_t) / dp
     r = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
     return jnp.where(cos_t <= 0.0, 1.0, r)
 
@@ -288,6 +297,17 @@ def dielectric_sample(sp: ShadingPoint, wi, r1, r2, r_mode):
     # lane; pdf above keeps the full R-weighted value for MIS like the
     # reference stores in v[v+1].pdf.
     w = jnp.where(do_reflect[..., None], w_r, w_t)
+    # detached-estimator IOR gradient at specular lanes: the analytic
+    # cancellation above also cancels d/d(ior) through the fresnel split.
+    # Multiply by F/sg(F) (resp. (1-F)/sg(1-F)) — primal 1, but the
+    # backward pass recovers d f/d ior at the fixed sample (unbiased
+    # detached estimator; the refraction-direction dependence on ior
+    # stays detached, see tests/test_grad.py).
+    sg = jax.lax.stop_gradient
+    f_att = jnp.where(do_reflect[..., None],
+                      big_r / jnp.maximum(sg(big_r), 1e-6),
+                      (1.0 - big_r) / jnp.maximum(sg(1.0 - big_r), 1e-6))
+    w = w * jnp.where(glossy[..., None], 1.0, f_att)
     is_spec = ~glossy
     return wo, pdf, w, is_spec, ~do_reflect
 
@@ -589,7 +609,16 @@ def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode, kinds=ALL_KINDS):
     # the simplified ratio), but gradients w.r.t. roughness/IOR/albedo
     # now match d/dtheta of the integrand at fixed sample locations —
     # the unbiased detached estimator (BASELINE.md gradient gate).
-    f_at, p_at = bsdf_eval_pdf(sp, wi, wo, kinds=kinds)
+    # evaluate on a defanged copy for the lanes whose recomputed weight is
+    # DISCARDED (specular/absorb): GGX's D at roughness 0 with h == n is
+    # 0/0, and although the primal is masked off below, the backward pass
+    # still differentiates it per-lane — the NaN cotangent then sums into
+    # the shared per-material roughness/IOR gradients (this made
+    # d(image)/d(ior_nd) NaN on any scene with a smooth dielectric)
+    discarded = ((mode & MODE_SPECULAR) != 0) | ((mode & MODE_ABSORB) != 0) \
+        | (mode == 0)
+    sp_safe = sp.replace(roughness=jnp.where(discarded, 0.5, sp.roughness))
+    f_at, p_at = bsdf_eval_pdf(sp_safe, wi, wo, kinds=kinds)
     p_det = jax.lax.stop_gradient(p_at)
     w_att = jnp.where(p_det > 0.0, f_at / jnp.where(p_det > 0.0, p_det, 1.0),
                       0.0)

@@ -26,10 +26,13 @@ import dataclasses
 
 import numpy as np
 
-# 8 prims/leaf: on the VPU the leaf test is dense vector math, so deeper
+# prims/leaf: on the VPU the leaf test is dense vector math, so deeper
 # leaves beat deeper trees (fewer gather-bound walk steps); the reference's
 # SIMD width argument (qbvhmp.c 4-wide SSE) lands at 4 on CPU, 8+ here.
-LEAF_SIZE = 8
+# Env-tunable for kernel experiments (a larger leaf = fewer while-loop
+# iterations in the packet kernel at more dense MT work per step).
+import os as _os
+LEAF_SIZE = int(_os.environ.get('C13_LEAF_SIZE', '8'))
 SAH_BINS = 16
 
 

@@ -47,7 +47,10 @@ TILE = 128           # rays per traversal (lane axis)
 SUBT = 8             # subtiles per grid step (amortizes grid/DMA overhead)
 BLOCK = TILE * SUBT  # rays per grid step
 MAX_STACK = 192
-LEAF = 8             # tris per leaf = sublane width; must match bvh.LEAF_SIZE
+from . import bvh as _bvh_mod
+LEAF = _bvh_mod.LEAF_SIZE   # tris per leaf (sublane axis of the MT test)
+K_MASK = (1 << (LEAF - 1).bit_length()) - 1  # low mantissa bits that
+# encode the winning leaf row in the positive-f32 min-reduce trick
 INF = 3.0e38
 # VMEM budget for node + leaf data before falling back to the XLA path
 VMEM_BYTES_LIMIT = 10 * 1024 * 1024
@@ -162,12 +165,12 @@ def _kernel(wlinks_ref,                      # [Wn*8] i32 (SMEM, prefetched)
                 k_col = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0)
                 enc = jnp.where(
                     ok,
-                    (jax.lax.bitcast_convert_type(tt, jnp.int32) & ~7)
+                    (jax.lax.bitcast_convert_type(tt, jnp.int32) & ~K_MASK)
                     | k_col,
                     jnp.int32(0x7f000000))
                 best = jnp.min(enc, axis=0, keepdims=True)   # (1, TILE)
                 win = best < 0x7f000000
-                sel = (k_col == (best & 7)) & win             # (8, TILE)
+                sel = (k_col == (best & K_MASK)) & win        # (LEAF, TILE)
                 fsel = sel.astype(jnp.float32)
                 isel = sel.astype(jnp.int32)
                 t_w = jnp.sum(tt * fsel, axis=0, keepdims=True)

@@ -62,6 +62,34 @@ class PTConfig:
     # (stochastic capping).  None = dense lax.scan (default).
 
 
+def _state_columns(state):
+    """Flatten a state dict into [(key, col_index_or_None), column] pairs
+    of rank-1 arrays — the operand list for a multi-operand lax.sort
+    (cheap on TPU, unlike gather/scatter by a permutation)."""
+    cols = []
+    for k in sorted(state):
+        v = state[k]
+        if v.ndim == 1:
+            cols.append(((k, None), v))
+        else:
+            for i in range(v.shape[1]):
+                cols.append(((k, i), v[:, i]))
+    return cols
+
+
+def _state_from_columns(state, cols, sorted_cols):
+    """Rebuild the state dict from sorted columns (inverse of
+    _state_columns; shapes/dtypes come from the template ``state``)."""
+    by_key = {}
+    for ((k, i), _), sc in zip(cols, sorted_cols):
+        by_key.setdefault(k, []).append(sc)
+    out = {}
+    for k, v in state.items():
+        parts = by_key[k]
+        out[k] = parts[0] if v.ndim == 1 else jnp.stack(parts, axis=-1)
+    return out
+
+
 def _hero_mis(pdf_prod_prev, our_pdf, other_pdf):
     """Joint balance heuristic over hero lanes and (our, other) techniques
     (ptdl.c:78-88).  pdf_prod_prev: per-lane product of vertex pdfs up to
@@ -558,41 +586,55 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
     # NEE/splat cost: depth d runs on cap_d = round(compact[d] * n) lanes.
     # Unbiased: survivors of a capacity overflow are a uniformly-random
     # subset (random sort key) reweighted by K/C.
+    #
+    # Banking: every original lane ends up in exactly one dropped tail
+    # segment or the final state, so the (orig, accum) rows of all
+    # segments form a permutation of 0..n-1.  Dropped tails are
+    # concatenated (static shapes) and ONE final sort by orig restores
+    # pixel order — multi-operand lax.sort is cheap on TPU where
+    # scatter-add is not.
     caps = cfg.compact
     if len(caps) != cfg.max_verts - 1 or abs(caps[0] - 1.0) > 1e-6:
         raise ValueError('cfg.compact needs max_verts-1 entries, first 1.0')
-    accum_fb = jnp.zeros((n, mf))
-    nray_tot = jnp.zeros((), jnp.int32)
     state['orig'] = jnp.arange(n, dtype=jnp.int32)
+    banked_orig = []            # dropped-lane segments
+    banked_accum = []
+    nray_tot = jnp.zeros((), jnp.int32)
 
-    def _bank(state, accum_fb, nray_tot):
-        accum_fb = accum_fb.at[state['orig']].add(state['accum'])
-        nray_tot = nray_tot + jnp.sum(state['nrays'])
-        return accum_fb, nray_tot
-
+    # the compaction sort key: dead lanes last; alive lanes in random
+    # order so a capacity overflow keeps a uniformly-random subset
     for depth in range(cfg.max_verts - 1):
         cap_n = min(n, max(128, -(-int(round(caps[depth] * n)) // 128)
                            * 128))
         n_cur = state['alive'].shape[0]
         if cap_n < n_cur:
-            accum_fb, nray_tot = _bank(state, accum_fb, nray_tot)
             alive = state['alive']
             k_alive = jnp.sum(alive.astype(jnp.int32))
             r = rng.sample_dim(ps, state['pix'], state['sidx'],
                                9000 + depth, cfg.seed)
             key = jnp.where(alive, r, 2.0)       # dead lanes sort last
-            _, perm = jax.lax.sort(
-                (key, jnp.arange(n_cur, dtype=jnp.int32)), num_keys=1)
-            perm = perm[:cap_n]
-            state = {k: v[perm] for k, v in state.items()}
-            state['accum'] = jnp.zeros((cap_n, mf))
-            state['nrays'] = jnp.zeros((cap_n,), jnp.int32)
+            cols = _state_columns(state)
+            sorted_cols = jax.lax.sort(
+                (key,) + tuple(c for _, c in cols), num_keys=1)[1:]
+            state = _state_from_columns(state, cols, sorted_cols)
+            # bank the dropped tail (their accum is final)
+            banked_orig.append(state['orig'][cap_n:])
+            banked_accum.append(state['accum'][cap_n:])
+            nray_tot = nray_tot + jnp.sum(state['nrays'][cap_n:])
+            state = {k: v[:cap_n] for k, v in state.items()}
             # stochastic capping reweight (only != 1 when K > cap)
             scale = jax.lax.stop_gradient(jnp.maximum(
                 1.0, k_alive.astype(jnp.float32) / cap_n))
             state['thr'] = state['thr'] * scale
         state, _ = bounce(state, depth)
-    accum_fb, nray_tot = _bank(state, accum_fb, nray_tot)
+    banked_orig.append(state['orig'])
+    banked_accum.append(state['accum'])
+    nray_tot = nray_tot + jnp.sum(state['nrays'])
+    all_orig = jnp.concatenate(banked_orig)
+    all_accum = jnp.concatenate(banked_accum)
+    srt = jax.lax.sort((all_orig,) + tuple(all_accum[:, i]
+                                           for i in range(mf)), num_keys=1)
+    accum_fb = jnp.stack(srt[1:], axis=-1)
     pseudo = {'nrays': nray_tot[None], 'alive': state['alive']}
     return accum_fb, lam, pix_i, pix_j, pseudo
 
