@@ -49,6 +49,12 @@ def main(argv=None):
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--retain-framebuffer', action='store_true',
                    help='resume accumulation from an existing .fb')
+    p.add_argument('--dbor', action='store_true',
+                   help='density-based outlier rejection: splat pt/ptdl '
+                        'through the log2 luminance cascade and write the '
+                        'trust-merged image plus the per-level buffers '
+                        '(reference --dbor, view.c:497-522 + '
+                        'tools/img/dbor.c)')
     args = p.parse_args(argv)
 
     from . import render as render_mod
@@ -91,7 +97,36 @@ def main(argv=None):
               f'{args.output}.fb')
 
     import jax.numpy as jnp
-    if args.sampler in ('pt', 'ptdl'):
+    if args.dbor and args.sampler in ('pt', 'ptdl'):
+        # the ptdl_dbor technique (reference src/sampler.d/ptdl_dbor.c):
+        # per-progression samples land in the log2-luminance cascade;
+        # the written image is the trust-merged reassembly
+        import jax
+        from .ops import splat as splat_mod
+        from .samplers import pt as pt_mod2
+        from .spectral import cie
+        n = cfg.width * cfg.height
+        pixels = jnp.arange(n, dtype=jnp.uint32)
+
+        @jax.jit
+        def dstep(s, fbs):
+            accum, lam, pi, pj = pt_mod.sample_paths(scene, cfg, s, pixels)
+            accum = jnp.where(jnp.isfinite(accum), accum, 0.0)
+            xyz = cie.spectral_to_xyz(lam, accum)
+            return splat_mod.splat_dbor(fbs, pi, pj, xyz)
+
+        fbs = jnp.zeros((splat_mod.N_DBOR, args.height, args.width, 3))
+        t0 = time.time()
+        for s in range(fbf.spp, fbf.spp + args.spp):
+            fbs = dstep(jnp.uint32(s), fbs)
+            print(f'  [{s + 1 - fbf.spp}/{args.spp}] '
+                  f'{(time.time() - t0) / (s + 1 - fbf.spp):.3f}s/frame')
+        merged = np.asarray(splat_mod.dbor_merge(fbs, spp=args.spp))
+        for k in range(splat_mod.N_DBOR):
+            pfm_io.write_pfm(f'{args.output}_dbor{k:02d}.pfm',
+                             np.asarray(fbs[k]))
+        fbf.accumulate(merged, args.spp)
+    elif args.sampler in ('pt', 'ptdl'):
         res = render_mod.render(scene, cfg, spp=args.spp, batch=args.batch,
                                 progress=True)
         fbf.accumulate(res.fb, res.spp)

@@ -233,12 +233,19 @@ def load_geo(path: str) -> GeoShape:
 
 
 def save_geo(path: str, tri_vtx: np.ndarray, tri_ns: np.ndarray | None = None,
-             tri_uv: np.ndarray | None = None) -> None:
+             tri_uv: np.ndarray | None = None,
+             tri_vtx_t1: np.ndarray | None = None) -> None:
     """Write a triangle mesh as a reference-compatible .geo file (used by the
-    obj2geo tool and by test fixtures)."""
+    obj2geo tool and by test fixtures).
+
+    ``tri_vtx_t1``: optional shutter-close vertices — sets the primid
+    motion bit (corona_common.h:45-55 bit 60) and interleaves (t0, t1)
+    vertex pairs at stride 2, the reference motion-blur layout
+    (include/prims.h:37-47)."""
     t = np.asarray(tri_vtx, np.float32)
     n_tri = len(t)
     verts = t.reshape(-1, 3)
+    mb = tri_vtx_t1 is not None
     if tri_ns is None:
         e1 = t[:, 1] - t[:, 0]
         e2 = t[:, 2] - t[:, 0]
@@ -256,12 +263,22 @@ def save_geo(path: str, tri_vtx: np.ndarray, tri_ns: np.ndarray | None = None,
 
     primids = (np.uint64(PRIM_TRI) << np.uint64(61)) | \
               ((np.arange(n_tri, dtype=np.uint64) * np.uint64(3)) << np.uint64(32))
+    if mb:
+        primids |= np.uint64(1) << np.uint64(60)
     vtxidx = np.zeros((3 * n_tri, 2), np.uint32)
     vtxidx[:, 0] = np.arange(3 * n_tri, dtype=np.uint32)
     vtxidx[:, 1] = enc_uv
-    vdata = np.zeros((3 * n_tri, 4), np.uint32)
-    vdata[:, :3] = verts.view(np.uint32)
-    vdata[:, 3] = enc_n
+    if mb:
+        verts1 = np.asarray(tri_vtx_t1, np.float32).reshape(-1, 3)
+        vdata = np.zeros((2 * 3 * n_tri, 4), np.uint32)
+        vdata[0::2, :3] = verts.view(np.uint32)
+        vdata[0::2, 3] = enc_n
+        vdata[1::2, :3] = verts1.view(np.uint32)
+        vdata[1::2, 3] = enc_n
+    else:
+        vdata = np.zeros((3 * n_tri, 4), np.uint32)
+        vdata[:, :3] = verts.view(np.uint32)
+        vdata[:, 3] = enc_n
 
     hdr_size = 32
     vtxidx_off = hdr_size + 8 * n_tri

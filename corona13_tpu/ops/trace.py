@@ -76,10 +76,16 @@ class DeviceBVH:
     wbounds: jnp.ndarray = None   # [Wn, 8, 8] child boxes + push weights
     wlinks: jnp.ndarray = None    # [Wn*8] i32 child links
     leaf_packed: jnp.ndarray = None  # [n_leaves, 8, 16] v0,e1,e2,prim,pad
+    # shutter-close leaf rows for motion blur (None = static scene); the
+    # per-ray time lerps (v0, e1, e2) in the leaf test — edges are linear
+    # in the vertices, so lerping the packed rows IS lerping the verts
+    # (reference qbvhmp.c:62-81 dual-time nodes + retime leaf test)
+    leaf_data_t1: jnp.ndarray = None  # [slots, D]
 
     @classmethod
     def from_host(cls, b: bvh_mod.FlatBVH, leaf_data: np.ndarray,
-                  leaf_shade: np.ndarray | None = None) -> 'DeviceBVH':
+                  leaf_shade: np.ndarray | None = None,
+                  leaf_data_t1: np.ndarray | None = None) -> 'DeviceBVH':
         packed = np.concatenate([
             b.node_min, b.node_max,
             b.node_skip[:, None].view(np.float32),
@@ -108,7 +114,9 @@ class DeviceBVH:
                    leaf_prims=jnp.asarray(b.leaf_prims),
                    leaf_data=jnp.asarray(leaf_data),
                    leaf_shade=jnp.asarray(leaf_shade),
-                   wbounds=wbounds, wlinks=wlinks, leaf_packed=leaf_packed)
+                   wbounds=wbounds, wlinks=wlinks, leaf_packed=leaf_packed,
+                   leaf_data_t1=(jnp.asarray(leaf_data_t1)
+                                 if leaf_data_t1 is not None else None))
 
     @property
     def n_nodes(self):
@@ -139,6 +147,11 @@ class DeviceGeometry:
     line_bvh: DeviceBVH
     # global prim id -> leaf-major slot map (shading by slot row)
     tri_prim_slot: jnp.ndarray = None
+    # motion blur (shutter-close states; None = static).  BVH bounds are
+    # the (t0, t1) union, so traversal is conservative and only the leaf
+    # tests resolve per-ray time (qbvhmp.c retime analogue).
+    sph_c_t1: jnp.ndarray = None    # [S, 3]
+    has_motion: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_tris(self):
@@ -157,6 +170,7 @@ def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
                          tri_quad_half=None, tri_shader=None,
                          sph_c=None, sph_r=None, sph_shader=None,
                          line_vtx=None, line_radii=None, line_shader=None,
+                         tri_v_t1=None, sph_c_t1=None,
                          ) -> DeviceGeometry:
     """Build BVHs + packed leaf data from host triangle/sphere/line soup.
 
@@ -185,10 +199,15 @@ def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
 
     e1 = tri_v[:, 1] - tri_v[:, 0]
     e2 = tri_v[:, 2] - tri_v[:, 0]
+    has_motion = tri_v_t1 is not None or sph_c_t1 is not None
+    if tri_v_t1 is not None:
+        tri_v_t1 = np.asarray(tri_v_t1, f32)
+    if sph_c_t1 is not None:
+        sph_c_t1 = np.asarray(sph_c_t1, f32)
 
-    tb = bvh_mod.build_bvh(*bvh_mod.tri_bounds(tri_v)) if T else bvh_mod.build_bvh(
-        np.zeros((0, 3), f32), np.zeros((0, 3), f32))
-    sb = bvh_mod.build_bvh(*bvh_mod.sphere_bounds(sph_c, sph_r))
+    tb = bvh_mod.build_bvh(*bvh_mod.tri_bounds(tri_v, tri_v_t1)) if T else \
+        bvh_mod.build_bvh(np.zeros((0, 3), f32), np.zeros((0, 3), f32))
+    sb = bvh_mod.build_bvh(*bvh_mod.sphere_bounds(sph_c, sph_r, sph_c_t1))
     lb = bvh_mod.build_bvh(*bvh_mod.line_bounds(line_vtx, line_radii))
 
     def pack(bvh, data, width):
@@ -198,6 +217,11 @@ def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
         return out.astype(f32)
 
     tri_data = np.concatenate([tri_v[:, 0], e1, e2], axis=1) if T else np.zeros((0, 9), f32)
+    tri_data_t1 = None
+    if tri_v_t1 is not None and T:
+        e1_t1 = tri_v_t1[:, 1] - tri_v_t1[:, 0]
+        e2_t1 = tri_v_t1[:, 2] - tri_v_t1[:, 0]
+        tri_data_t1 = np.concatenate([tri_v_t1[:, 0], e1_t1, e2_t1], axis=1)
     tri_shade = (np.concatenate([
         tri_vn.reshape(T, 9), tri_uv.reshape(T, 6),
         tri_shader[:, None].astype(f32),
@@ -224,11 +248,15 @@ def make_device_geometry(tri_v=None, tri_vn=None, tri_uv=None,
         line_r0=jnp.asarray(line_radii[:, 0]) if L else jnp.zeros((0,)),
         line_r1=jnp.asarray(line_radii[:, 1]) if L else jnp.zeros((0,)),
         line_shader=jnp.asarray(line_shader),
-        tri_bvh=DeviceBVH.from_host(tb, pack(tb, tri_data, 9),
-                                    pack(tb, tri_shade, 17)),
+        tri_bvh=DeviceBVH.from_host(
+            tb, pack(tb, tri_data, 9), pack(tb, tri_shade, 17),
+            leaf_data_t1=(pack(tb, tri_data_t1, 9)
+                          if tri_data_t1 is not None else None)),
         sph_bvh=DeviceBVH.from_host(sb, pack(sb, sph_data, 4)),
         line_bvh=DeviceBVH.from_host(lb, pack(lb, line_data, 8)),
-        tri_prim_slot=jnp.asarray(prim_slot))
+        tri_prim_slot=jnp.asarray(prim_slot),
+        sph_c_t1=(jnp.asarray(sph_c_t1) if sph_c_t1 is not None else None),
+        has_motion=has_motion)
 
 
 @struct.dataclass
@@ -501,8 +529,13 @@ def _closest_select(tt, ok, t, prim, u, v, cand, uu=None, vv=None,
 
 
 def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
-              t_max=None) -> Hit:
+              t_max=None, time=None) -> Hit:
     """Closest hit for a wavefront of rays.  org/dir: [N, 3].
+
+    ``time`` [N] in [0, 1]: shutter-relative ray times for motion-blurred
+    scenes (geom.has_motion); the leaf tests lerp triangle vertices /
+    sphere centers per ray (reference qbvhmp.c:62-81 retime).  Ignored
+    for static scenes.
 
     ``ignore_prim`` reproduces the reference's primid self-intersection
     exclusion (ray->ignore, prims.c:380); callers should also offset the
@@ -529,9 +562,11 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
     ig = ignore_prim if ignore_prim is not None else prim
     inv_dir = _inv_dir(direction)
     ls = jnp.arange(bvh_mod.LEAF_SIZE)
+    moving = geom.has_motion and time is not None
+    tm = jax.lax.stop_gradient(time) if moving else None
 
     if geom.n_tris:
-        if _use_pallas(geom.tri_bvh):
+        if _use_pallas(geom.tri_bvh) and not moving:
             from . import trace_pallas
 
             def _run(o, d, tt, igp):
@@ -545,6 +580,10 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
                 cslot = first[..., None] + ls
                 cand = geom.tri_bvh.leaf_prims[cslot]
                 rows = geom.tri_bvh.leaf_data[cslot]
+                if moving and geom.tri_bvh.leaf_data_t1 is not None:
+                    rows1 = geom.tri_bvh.leaf_data_t1[cslot]
+                    w1 = tm[..., None, None]
+                    rows = rows * (1.0 - w1) + rows1 * w1
                 tt, bu, bv, ok = ray_tri_intersect_packed(rows, org, direction)
                 ok &= (cand >= 0) & (tt <= t[..., None]) & (cand != ig[..., None])
                 return _closest_select(
@@ -557,12 +596,18 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
 
     if geom.n_spheres:
         s_off = geom.n_tris
+        sph_c = geom.sph_c
+        if moving and geom.sph_c_t1 is not None:
+            w1 = tm[..., None, None]
+            sph_c = geom.sph_c[None] * (1.0 - w1) + geom.sph_c_t1[None] * w1
+        else:
+            sph_c = geom.sph_c[None]
         if geom.n_spheres <= BRUTE_FORCE_MAX:
             # tiny prim set: one dense candidate test beats a lockstep
             # traversal loop (no gathers, no while_loop HBM round trips)
             cand = jnp.arange(geom.n_spheres, dtype=jnp.int32)
             gid = cand + s_off
-            tt, ok = ray_sphere_intersect(geom.sph_c[None], geom.sph_r[None],
+            tt, ok = ray_sphere_intersect(sph_c, geom.sph_r[None],
                                           org, direction)
             ok &= (tt <= t[..., None]) & (gid[None] != ig[..., None])
             t, prim, u, v = _closest_select(tt, ok, t, prim, u, v,
@@ -609,11 +654,12 @@ def intersect(geom: DeviceGeometry, org, direction, ignore_prim=None,
 
 
 def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
-             ignore_prim2=None) -> jnp.ndarray:
+             ignore_prim2=None, time=None) -> jnp.ndarray:
     """Shadow-ray test: True where the segment [0, t_max] is blocked.
     Both endpoints' prims can be excluded (reference path_visible,
     src/pathspace.c:311).  Detached like :func:`intersect`; traversal
-    early-outs per lane on the first blocker (any-hit)."""
+    early-outs per lane on the first blocker (any-hit).  ``time`` as in
+    :func:`intersect` (shadow rays share the path's shutter time)."""
     org = jax.lax.stop_gradient(org)
     direction = jax.lax.stop_gradient(direction)
     t_max = jax.lax.stop_gradient(t_max)
@@ -627,6 +673,8 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
     t = jnp.broadcast_to(jnp.asarray(t_max), (n,)) + zero
     inv_dir = _inv_dir(direction)
     ls = jnp.arange(bvh_mod.LEAF_SIZE)
+    moving = geom.has_motion and time is not None
+    tm = jax.lax.stop_gradient(time) if moving else None
 
     def any_hit_reduce(tt, ok, t, prim, u, v, ex):
         hit_now = jnp.any(ok, axis=-1)
@@ -634,7 +682,7 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
                 u, v, ex)
 
     if geom.n_tris:
-        if _use_pallas(geom.tri_bvh):
+        if _use_pallas(geom.tri_bvh) and not moving:
             from . import trace_pallas
 
             def _run(o, d, tt, igp, igp2):
@@ -649,6 +697,10 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
                 cslot = first[..., None] + ls
                 cand = geom.tri_bvh.leaf_prims[cslot]
                 rows = geom.tri_bvh.leaf_data[cslot]
+                if moving and geom.tri_bvh.leaf_data_t1 is not None:
+                    rows1 = geom.tri_bvh.leaf_data_t1[cslot]
+                    w1 = tm[..., None, None]
+                    rows = rows * (1.0 - w1) + rows1 * w1
                 tt, bu, bv, ok = ray_tri_intersect_packed(rows, org, direction)
                 ok &= (cand >= 0) & (tt < t[..., None]) & \
                     (cand != ig[..., None]) & (cand != ig2[..., None])
@@ -658,9 +710,14 @@ def occluded(geom: DeviceGeometry, org, direction, t_max, ignore_prim=None,
 
     if geom.n_spheres:
         s_off = geom.n_tris
+        if moving and geom.sph_c_t1 is not None:
+            w1 = tm[..., None, None]
+            sph_cb = geom.sph_c[None] * (1.0 - w1) + geom.sph_c_t1[None] * w1
+        else:
+            sph_cb = geom.sph_c[None]
         if geom.n_spheres <= BRUTE_FORCE_MAX:
             gid = jnp.arange(geom.n_spheres, dtype=jnp.int32) + s_off
-            tt, ok = ray_sphere_intersect(geom.sph_c[None], geom.sph_r[None],
+            tt, ok = ray_sphere_intersect(sph_cb, geom.sph_r[None],
                                           org, direction)
             ok &= (tt < t[..., None]) & (gid[None] != ig[..., None]) & \
                 (gid[None] != ig2[..., None])

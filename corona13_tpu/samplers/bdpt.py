@@ -12,9 +12,13 @@ aperture point, splatted at the projected pixel through the general
 scatter splat — reference bdpt.c:376-402).  MIS weights are computed
 jointly over the full strategy set including t = 1.
 
-Participating media are NOT traced on subpaths or connections (vacuum
-transport only); media scenes should use pt/ptdl, which handle
-homogeneous + grid media (render_sample warns).
+Participating media (cfg.media): interior-medium transmittance is applied
+deterministically on every subpath edge and connection segment, with the
+nested-interior priority stack tracked per subpath (reference
+_path_edge_medium, pathspace.c:80-115 + edge transmittance :697-740).
+In-scattering vertices are NOT sampled on subpaths, so absorbing
+interiors match pt/ptdl exactly while scattering (sigma_s > 0) media lose
+the in-scattered component (render_sample warns; use pt/ptdl for those).
 
 MIS bookkeeping follows the reference's vertex-area-measure convention
 (src/pathspace.c:262, path_pdf:364): for each subpath vertex we store
@@ -43,6 +47,7 @@ import jax.numpy as jnp
 from ..models import bsdf as bsdf_mod
 from ..models import camera as camera_mod
 from ..models import lights as lights_mod
+from ..models import medium as medium_mod
 from ..models import shading as shading_mod
 from ..ops import rng
 from ..ops.trace import intersect, occluded, MAX_DIST
@@ -70,21 +75,38 @@ def _trace_subpath(scene, cfg, lam, org0, dir0, thr0, pdf_proj0, prev_n0,
     n = org0.shape[0]
     mf = cfg.mf
 
+    izero = jnp.zeros((n,), jnp.int32)
     state = dict(org=org0, dir=dir0, thr=thr0,
                  pdf_proj=jnp.broadcast_to(pdf_proj0, (n, mf)),
                  prev_n=prev_n0, prev_prim=prev_prim0,
-                 alive=jnp.ones((n,), bool))
+                 alive=jnp.ones((n,), bool),
+                 med_stack=medium_mod.stack_push(
+                     medium_mod.stack_init(izero),
+                     izero + max(scene.exterior_med, 0),
+                     izero == (0 if scene.exterior_med >= 0 else 1)))
 
     def bounce(state, depth):
         alive = state['alive']
         org = state['org']
         d = state['dir']
+        cur_med = medium_mod.stack_current(state['med_stack'])
         hit = intersect(scene.geom, org, d, ignore_prim=state['prev_prim'],
                         t_max=jnp.where(alive, MAX_DIST, 0.0))
         valid = hit.valid & alive
         t_park = jnp.where(hit.valid, hit.t, 1e4)
         x = org + t_park[..., None] * d
         sp = shading_mod.prepare(scene, hit, x, d, lam)
+        if cfg.media:
+            # deterministic edge transmittance through the current
+            # interior (absorption component of reference
+            # path_propagate's volume step, pathspace.c:697-740;
+            # in-scattering vertices are not sampled on bdpt subpaths —
+            # see render_sample's media note)
+            tr = medium_mod.transmittance_scene(scene, cur_med, lam, org,
+                                                d, t_park)
+            tr = jnp.where(jnp.isfinite(tr), tr, 0.0)
+            state = dict(state, thr=state['thr'] *
+                         jnp.where(alive[..., None], tr, 1.0))
 
         g = (_lambert(state['prev_n'], d) * _lambert(sp.n, d)
              / jnp.maximum(hit.t * hit.t, 1e-20))
@@ -115,14 +137,27 @@ def _trace_subpath(scene, cfg, lam, org0, dir0, thr0, pdf_proj0, prev_n0,
             pdf_fwd_a=pdf_fwd_a, pdf_rev_a=pdf_rev_a,
             g_rev=g, valid=valid,
             connectable=_connectable(sp) & valid,
-            prim=hit.prim)
+            prim=hit.prim,
+            med=cur_med)
 
         thr = state['thr'] * w
         still = valid & jnp.any(thr > 0.0, axis=-1) & \
             jnp.any(pdf_new > 0.0, axis=-1)
+        new_med = state['med_stack']
+        if cfg.media:
+            # interior transitions on transmission (the priority stack of
+            # reference _path_edge_medium, pathspace.c:80-115)
+            mat = jnp.clip(scene.prim_shader[jnp.maximum(hit.prim, 0)], 0,
+                           scene.materials.kind.shape[0] - 1)
+            has_med = scene.materials.med_enabled[mat] & valid
+            transmitted = (mode & bsdf_mod.MODE_TRANSMIT) > 0
+            new_med = medium_mod.stack_push(
+                new_med, mat, has_med & transmitted & ~sp.inside)
+            new_med = medium_mod.stack_pop(
+                new_med, mat, has_med & transmitted & sp.inside)
         new_state = dict(org=ray_offset(x, wo), dir=wo, thr=thr,
                          pdf_proj=pdf_new, prev_n=sp.n, prev_prim=hit.prim,
-                         alive=still)
+                         alive=still, med_stack=new_med)
         out = {k: jnp.where(_bmask(alive, new_state[k]), new_state[k],
                             state[k]) for k in state}
         return out, record
@@ -162,9 +197,11 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
     uses this with {s<=1} + {t=1} (reference ptlt.c's pt+nee+lt family)."""
     if cfg.media or scene.has_hete:
         import warnings
-        warnings.warn('bdpt traces subpaths and connections without '
-                      'participating-media transmittance (vacuum); media '
-                      'scenes diverge from pt/ptdl')
+        warnings.warn('bdpt applies interior-medium transmittance '
+                      '(absorption) on subpath edges and connections, but '
+                      'samples no in-scattering vertices: scattering '
+                      '(sigma_s > 0) media diverge from pt/ptdl; '
+                      'absorbing interiors agree')
     n = cfg.width * cfg.height * batch
     pixel_idx = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
     pixel_idx = jnp.tile(pixel_idx, batch)
@@ -353,6 +390,13 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
 
             contrib = ry['thr'] * f_y * z_thr * f_z * g_conn[..., None]
             contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+            if cfg.media:
+                # transmittance of the eye endpoint's interior along the
+                # connection (boundary crossings are geometry-blocked by
+                # the visibility test, like pt.py's NEE)
+                tr_c = medium_mod.transmittance_scene(
+                    scene, ry['med'], lam, ry['x'], wdir, dist)
+                contrib = contrib * jnp.where(jnp.isfinite(tr_c), tr_c, 0.0)
 
             # ------- MIS: pA_fwd / pA_rev / conn along the full path -----
             pdfA_fwd = [None] * (k - 1)
@@ -481,6 +525,12 @@ def render_sample(scene, cfg: PTConfig, sample_idx, batch: int = 1,
         # cc.weight = sensor / p_aperture (camera.connect docstring)
         contrib = z_thr * f_z * (cc['weight'] * g_conn)[..., None]
         contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+        if cfg.media:
+            med_z = (jnp.full((n,), scene.exterior_med, jnp.int32)
+                     if s == 1 else rz['med'])
+            tr_c = medium_mod.transmittance_scene(
+                scene, med_z, lam, z_x, d_cam, cc['dist'])
+            contrib = contrib * jnp.where(jnp.isfinite(tr_c), tr_c, 0.0)
 
         # ---- MIS over all strategies of length k (this one is j = k-1) --
         pdfA_fwd = [None] * (k - 1)

@@ -199,7 +199,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
     sidx_arr = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
                                 pixel_idx.shape)
     state = dict(
-        pix=pixel_idx, sidx=sidx_arr, lam=lam,
+        pix=pixel_idx, sidx=sidx_arr, lam=lam, time=time,
         org=org, dir=direction,
         thr=thr0,
         pdf_proj=jnp.broadcast_to(cam_pdf_proj[..., None], (n, mf)),
@@ -243,7 +243,8 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         # dead lanes trace with t_max = 0: the slab test fails at the root
         # and they fall straight through the traversal
         hit = intersect(scene.geom, org, d, ignore_prim=state['prev_prim'],
-                        t_max=jnp.where(alive, MAX_DIST, 0.0))
+                        t_max=jnp.where(alive, MAX_DIST, 0.0),
+                        time=state['time'])
         nrays = state['nrays'] + alive.astype(jnp.int32)
 
         # --- free-flight through the interior medium (path_propagate's
@@ -409,7 +410,8 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
                                ignore_prim=jnp.where(scat, INVALID_PRIM,
                                                      hit.prim)
                                if cfg.media else hit.prim,
-                               ignore_prim2=ls['prim'])
+                               ignore_prim2=ls['prim'],
+                               time=state['time'])
             # count only shadow rays that traverse (t_max > 0), i.e. `can`
             # pre-visibility — lanes with can=False call occluded with
             # t_max=0 and do no BVH work
@@ -455,7 +457,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
                 (depth <= cfg.max_verts - 3)
             blocked_e = occluded(scene.geom, ray_offset(x, d_env), d_env,
                                  jnp.where(can_e, 1e4, 0.0),
-                                 ignore_prim=hit.prim)
+                                 ignore_prim=hit.prim, time=state['time'])
             nrays = nrays + can_e.astype(jnp.int32)  # pre-visibility: rays
             can_e = can_e & ~blocked_e               # with t_max>0 traverse
             le_env = lights_mod.sky_eval(scene, d_env, lam)
@@ -560,7 +562,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             med_stack=new_med,
         )
         # per-lane constants ride along unchanged (compaction permutes them)
-        for k in ('pix', 'sidx', 'lam', 'orig'):
+        for k in ('pix', 'sidx', 'lam', 'orig', 'time'):
             if k in state:
                 new_state[k] = state[k]
         # keep dead lanes' accum/ray counts, freeze the rest

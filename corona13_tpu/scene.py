@@ -303,6 +303,8 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
 
     # --- geometry: concatenate all shapes into global prim arrays
     tri_v, tri_n, tri_uvs, tri_half, tri_sh = [], [], [], [], []
+    tri_v1, sph_c1 = [], []
+    any_motion = False
     sph_c, sph_r, sph_sh = [], [], []
     lin_v0, lin_v1, lin_r0, lin_r1, lin_sh = [], [], [], [], []
     # remember per-shape prim spans for the light table
@@ -317,12 +319,15 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
         g = geo_io.load_geo(shp.geo_path)
         t0 = sum(len(x) for x in tri_v)
         tri_v.append(g.tri_vtx)
+        tri_v1.append(g.tri_vtx_t1)
+        any_motion = any_motion or g.has_motion
         tri_n.append(g.tri_ns)
         tri_uvs.append(g.tri_uv)
         tri_half.append(g.tri_quad_half)
         tri_sh.append(np.full(len(g.tri_vtx), shp.shader, np.int32))
         shape_tri_spans.append((shp.shader, t0, len(g.tri_vtx)))
         sph_c.append(g.sph_center)
+        sph_c1.append(g.sph_center_t1)
         sph_r.append(g.sph_radius)
         sph_sh.append(np.full(len(g.sph_radius), shp.shader, np.int32))
         lin_v0.append(g.line_vtx[:, 0])
@@ -332,11 +337,13 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
         lin_sh.append(np.full(len(g.line_radii), shp.shader, np.int32))
 
     tri_v = np.concatenate(tri_v) if tri_v else np.zeros((0, 3, 3), np.float32)
+    tri_v1 = np.concatenate(tri_v1) if tri_v1 else np.zeros((0, 3, 3), np.float32)
     tri_n = np.concatenate(tri_n) if tri_n else np.zeros((0, 3, 3), np.float32)
     tri_uvs = np.concatenate(tri_uvs) if tri_uvs else np.zeros((0, 3, 2), np.float32)
     tri_half = np.concatenate(tri_half) if tri_half else np.zeros((0,), np.uint8)
     tri_sh = np.concatenate(tri_sh) if tri_sh else np.zeros((0,), np.int32)
     sph_c = np.concatenate(sph_c) if sph_c else np.zeros((0, 3), np.float32)
+    sph_c1 = np.concatenate(sph_c1) if sph_c1 else np.zeros((0, 3), np.float32)
     sph_r = np.concatenate(sph_r) if sph_r else np.zeros((0,), np.float32)
     sph_sh = np.concatenate(sph_sh) if sph_sh else np.zeros((0,), np.int32)
     lin_v0 = np.concatenate(lin_v0) if lin_v0 else np.zeros((0, 3), np.float32)
@@ -352,7 +359,9 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
         tri_v=tri_v, tri_vn=tri_n, tri_uv=tri_uvs,
         tri_quad_half=tri_half.astype(np.int32), tri_shader=tri_sh,
         sph_c=sph_c, sph_r=sph_r, sph_shader=sph_sh,
-        line_vtx=lvtx, line_radii=lrad, line_shader=lin_sh)
+        line_vtx=lvtx, line_radii=lrad, line_shader=lin_sh,
+        tri_v_t1=tri_v1 if any_motion else None,
+        sph_c_t1=sph_c1 if any_motion else None)
     prim_shader = np.concatenate([tri_sh, sph_sh, lin_sh]) if (
         len(tri_sh) + len(sph_sh) + len(lin_sh)) else np.zeros((0,), np.int32)
 

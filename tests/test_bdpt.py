@@ -86,3 +86,24 @@ def test_bdpt_t1_share_not_collapsed(cornell):
     share = t1.sum() / max(full.sum(), 1e-9)
     assert share > 0.02, f't=1 share collapsed: {share:.2e}'
     assert share < 0.9, f't=1 share implausibly large: {share:.2e}'
+
+
+def test_bdpt_absorbing_media_matches_ptdl():
+    """Absorbing interior (sigma_s = 0): bdpt's deterministic edge/
+    connection transmittance must agree with ptdl's free-flight estimator
+    in expectation (reference bdpt inherits volume support from
+    pathspace; here the absorption component is exact)."""
+    from corona13_tpu import testing
+    sc = testing.cornell_scene(sphere='absorb')
+    # keep sigma moderate so transmitted paths survive (see test_grad)
+    sc = sc.replace(materials=sc.materials.replace(
+        med_mut_mul=sc.materials.med_mut_mul * 0.25))
+    cfg = pt_mod.PTConfig(width=24, height=16, max_verts=5, mf=2,
+                          use_nee=True, media=True)
+    a = b = 0.0
+    for s in range(3):
+        a = a + np.asarray(bdpt_mod.render_sample(sc, cfg, jnp.uint32(s)))
+        b = b + np.asarray(pt_mod.render_sample(sc, cfg, jnp.uint32(s),
+                                                batch=4)) / 4
+    ratio = a[..., 1].mean() / b[..., 1].mean()
+    assert abs(ratio - 1.0) < 0.1, ratio

@@ -171,3 +171,43 @@ def test_subsurf_matches_reference():
     mean_rel = abs(res.image_xyz.mean() - gold.mean()) / gold.mean()
     assert rmse < 0.2, f'RMSE {rmse} vs reference gate 0.35'
     assert mean_rel < 0.05, f'mean energy off by {mean_rel:.1%}'
+
+
+def test_kmlt_matches_reference(scene_0010, golden_0010):
+    """0016_kmlt_pt gate: Kelemen-MLT progression on the 0010 scene vs the
+    converged reference.  The reference test reuses the 0010 scene AND
+    its reference image (regression/0016_kmlt_pt/scene -> 0010_pt/test,
+    createres.sh:126-132); its maxerror is 5 (MLT renders are noisier,
+    regression/0016_kmlt_pt/maxerror)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from corona13_tpu.io import pfm as pfm_io
+    from corona13_tpu.samplers import kmlt as kmlt_mod, pt as pt_mod
+    cfg = pt_mod.PTConfig(width=256, height=160, max_verts=8, mf=4,
+                          use_nee=False)
+    fb = kmlt_mod.render_sample(scene_0010, cfg, jnp.uint32(0), batch=40,
+                                chains=4096)
+    img = np.asarray(fb) * float(scene_0010.camera.iso) / (100.0 * 40)
+    rmse = pfm_io.rmse(img, golden_0010)
+    mean_rel = abs(img.mean() - golden_0010.mean()) / golden_0010.mean()
+    assert rmse < 5.0, f'RMSE {rmse} vs reference gate 5.0'
+    assert mean_rel < 0.15, f'mean energy off by {mean_rel:.1%}'
+
+
+def test_vmlt_matches_reference(scene_0010, golden_0010):
+    """vmlt-engine gate on the same 0016-family scene: the registry-driven
+    mutations must reproduce the reference render too."""
+    import jax.numpy as jnp
+    import numpy as np
+    from corona13_tpu.io import pfm as pfm_io
+    from corona13_tpu.samplers import vmlt as vmlt_mod, pt as pt_mod
+    cfg = pt_mod.PTConfig(width=256, height=160, max_verts=8, mf=4,
+                          use_nee=False)
+    fb = vmlt_mod.render_sample(scene_0010, cfg, jnp.uint32(0), batch=40,
+                                chains=4096)
+    img = np.asarray(fb) * float(scene_0010.camera.iso) / (100.0 * 40)
+    rmse = pfm_io.rmse(img, golden_0010)
+    mean_rel = abs(img.mean() - golden_0010.mean()) / golden_0010.mean()
+    assert rmse < 5.0, f'RMSE {rmse} vs reference gate 5.0'
+    assert mean_rel < 0.15, f'mean energy off by {mean_rel:.1%}'
