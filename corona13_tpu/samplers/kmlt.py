@@ -78,10 +78,27 @@ def render_sample(scene, cfg: pt_mod.PTConfig, sample_idx, batch: int = 1,
     def crnd(it, k):
         return rng.uniform(cid, base + jnp.uint32(it), k, cfg.seed)
 
-    # initial state: one large step
+    # initial state: one large step per chain, then *stationary seeding* —
+    # resample the start states from the pool proportionally to their
+    # brightness (the standard MLT seeding; the reference's long-lived
+    # per-thread chains amortize the transient instead, kmlt.c:195-240).
+    # Without this, a lockstep batch of short chains underestimates the
+    # bright modes (e.g. direct emitter hits) by whatever fraction of
+    # chains never finds them.
     u0 = jax.vmap(lambda k: rng.uniform(cid, base, k + 100, cfg.seed),
                   out_axes=1)(jnp.arange(d))
     pi0, pj0, xyz0, i0 = _eval(scene, cfg, u0)
+    # the mean-brightness estimate must come from the *unweighted*
+    # large-step pool — the resampled i0 are stationary-distributed and
+    # their mean is E[i^2]/E[i], which would inflate the global gain
+    b_sum0 = jnp.sum(i0)
+    cdf0 = jnp.cumsum(i0)
+    tot0 = cdf0[-1]
+    r0 = rng.uniform(cid, base, 9999, cfg.seed) * tot0
+    idx0 = jnp.clip(jnp.searchsorted(cdf0, r0), 0, chains - 1)
+    idx0 = jnp.where(tot0 > 0.0, idx0, cid.astype(idx0.dtype))
+    u0, pi0, pj0 = u0[idx0], pi0[idx0], pj0[idx0]
+    xyz0, i0 = xyz0[idx0], i0[idx0]
 
     fb0 = jnp.zeros((cfg.height, cfg.width, 3))
 
@@ -128,7 +145,7 @@ def render_sample(scene, cfg: pt_mod.PTConfig, sample_idx, batch: int = 1,
         i_cur = jnp.where(acc, i_t, i_cur)
         return (u, pi, pj, xyz, i_cur, fb, b_sum, b_cnt, rejects), None
 
-    carry = (u0, pi0, pj0, xyz0, i0, fb0, jnp.sum(i0),
+    carry = (u0, pi0, pj0, xyz0, i0, fb0, b_sum0,
              jnp.float32(chains), jnp.zeros((chains,), jnp.int32))
     carry, _ = jax.lax.scan(step, carry,
                             jnp.arange(1, n_mut + burn_in + 1))
