@@ -59,15 +59,29 @@ def main():
     # lanes stop paying dense traversal/shading blocks
     if os.environ.get('BENCH_COMPACT', '1') != '0':
         import numpy as np
+        t0 = time.time()
         prof = np.asarray(pt_mod.alive_profile(sc, cfg, jnp.uint32(1)),
                           np.float64)
         frac = prof / (cfg.width * cfg.height)
         caps = np.clip(np.ceil(frac * 1.3 * 64) / 64, 1.0 / 64, 1.0)
         caps[0] = 1.0
+        # coarsen to <= 3 distinct capacities: the compact driver compiles
+        # one scan segment per distinct value (compile time through the
+        # remote-compile tunnel scales with segment count)
+        if len(caps) > 3:
+            tail = len(caps) // 2
+            caps[1:tail + 1] = caps[1:tail + 1].max()
+            caps[tail + 1:] = caps[tail + 1:].max()
         cfg = cfg.replace(compact=tuple(float(c) for c in caps))
+        print(f'[bench] occupancy {np.round(frac, 3).tolist()} -> caps '
+              f'{caps.tolist()} ({time.time() - t0:.0f}s)', file=sys.stderr,
+              flush=True)
     step = jax.jit(lambda s: pt_mod.render_sample(sc, cfg, s))
+    t0 = time.time()
     fb = step(jnp.uint32(0))
     fb.block_until_ready()
+    print(f'[bench] step compiled in {time.time() - t0:.0f}s',
+          file=sys.stderr, flush=True)
 
     reps = 8
     t0 = time.time()

@@ -128,7 +128,7 @@ def main(argv=None):
         fbf.accumulate(merged, args.spp)
     elif args.sampler in ('pt', 'ptdl'):
         res = render_mod.render(scene, cfg, spp=args.spp, batch=args.batch,
-                                progress=True)
+                                progress=True, path_hist=True)
         fbf.accumulate(res.fb, res.spp)
     elif args.sampler == 'lt':
         from .samplers import lt as lt_mod

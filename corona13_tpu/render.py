@@ -27,6 +27,10 @@ class RenderResult:
     iso: float
     seconds: float
     rays: int = 0
+    # per-depth alive lane counts of the last progression (the path-length
+    # histogram of the reference sidecar, view.c:758-790); None if the
+    # caller skipped profiling
+    path_hist: np.ndarray | None = None
 
     @property
     def image_xyz(self) -> np.ndarray:
@@ -50,12 +54,21 @@ class RenderResult:
             if self.spp:
                 f.write(f'         : {self.seconds / self.spp:.3f}s/progression\n')
             f.write(f'iso      : {self.iso}\n')
+            if self.path_hist is not None and len(self.path_hist):
+                # unicode-bar path-length histogram like the reference
+                # sidecar (view.c:758-790): share of paths alive per depth
+                bars = ' ▁▂▃▄▅▆▇█'
+                top = max(int(self.path_hist[0]), 1)
+                line = ''.join(
+                    bars[min(8, int(9 * c / top))] for c in self.path_hist)
+                f.write(f'pathlen  : [{line}] '
+                        f'{[int(c) for c in self.path_hist]}\n')
             for k, v in (extra or {}).items():
                 f.write(f'{k:9s}: {v}\n')
 
 
 def render(scene, cfg: pt_mod.PTConfig, spp: int = 16, batch: int = 0,
-           progress: bool = False) -> RenderResult:
+           progress: bool = False, path_hist: bool = False) -> RenderResult:
     """Render ``spp`` progressions (1 path/pixel each).
 
     ``batch`` progressions run per device launch (0 = auto: whole spp in
@@ -83,5 +96,8 @@ def render(scene, cfg: pt_mod.PTConfig, spp: int = 16, batch: int = 0,
             print(f'  [{done}/{spp}] {dt / done:.3f}s/frame')
     fb.block_until_ready()
     seconds = _time.time() - t0
+    hist = (np.asarray(pt_mod.alive_profile(scene, cfg, jnp.uint32(0)))
+            if path_hist else None)
     return RenderResult(fb=np.asarray(fb), spp=done,
-                        iso=float(scene.camera.iso), seconds=seconds)
+                        iso=float(scene.camera.iso), seconds=seconds,
+                        path_hist=hist)

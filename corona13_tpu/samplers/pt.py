@@ -603,17 +603,29 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
     banked_accum = []
     nray_tot = jnp.zeros((), jnp.int32)
 
+    # group consecutive depths with the same capacity into lax.scan
+    # segments: the compile cost scales with the number of DISTINCT
+    # capacities, not with max_verts (a fully unrolled bounce loop
+    # multiplies the XLA program by the depth count, which the TPU
+    # remote compiler chokes on)
+    cap_ns = [min(n, max(128, -(-int(round(c * n)) // 128) * 128))
+              for c in caps]
+    segments = []               # (cap_n, depth_start, depth_end)
+    for depth, cap_n in enumerate(cap_ns):
+        if segments and segments[-1][0] == cap_n:
+            segments[-1][2] = depth + 1
+        else:
+            segments.append([cap_n, depth, depth + 1])
+
     # the compaction sort key: dead lanes last; alive lanes in random
     # order so a capacity overflow keeps a uniformly-random subset
-    for depth in range(cfg.max_verts - 1):
-        cap_n = min(n, max(128, -(-int(round(caps[depth] * n)) // 128)
-                           * 128))
+    for cap_n, d0, d1 in segments:
         n_cur = state['alive'].shape[0]
         if cap_n < n_cur:
             alive = state['alive']
             k_alive = jnp.sum(alive.astype(jnp.int32))
             r = rng.sample_dim(ps, state['pix'], state['sidx'],
-                               9000 + depth, cfg.seed)
+                               9000 + d0, cfg.seed)
             key = jnp.where(alive, r, 2.0)       # dead lanes sort last
             cols = _state_columns(state)
             sorted_cols = jax.lax.sort(
@@ -628,7 +640,11 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             scale = jax.lax.stop_gradient(jnp.maximum(
                 1.0, k_alive.astype(jnp.float32) / cap_n))
             state['thr'] = state['thr'] * scale
-        state, _ = bounce(state, depth)
+        if d1 - d0 == 1:
+            state, _ = bounce(state, d0)
+        else:
+            state, _ = jax.lax.scan(lambda st, dd: bounce(st, dd), state,
+                                    jnp.arange(d0, d1))
     banked_orig.append(state['orig'])
     banked_accum.append(state['accum'])
     nray_tot = nray_tot + jnp.sum(state['nrays'])

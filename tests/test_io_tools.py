@@ -102,3 +102,34 @@ def test_obj2geo_round_trip(tmp_path):
                   g.tri_vtx[:, 2] - g.tri_vtx[:, 0])
     gn /= np.linalg.norm(gn, axis=-1, keepdims=True)
     assert np.abs((g.tri_ns * gn[:, None, :]).sum(-1) - 1).max() < 1e-3
+
+
+def test_netdisplay_serves_frames(tmp_path):
+    """MJPEG net display (reference display.d/mjpeg.c analogue): watches a
+    .fb file and serves JPEG frames over HTTP."""
+    import urllib.request
+    import numpy as np
+    from corona13_tpu.io import fb as fb_io
+    from corona13_tpu.tools import netdisplay
+    path = str(tmp_path / 'live.fb')
+    f = fb_io.Framebuffer.open(path, 16, 12, retain=False)
+    img = np.random.default_rng(0).uniform(0, 1, (12, 16, 3)).astype(np.float32)
+    f.accumulate(img, 1)
+    f.flush(iso=100.0)
+    httpd, watcher = netdisplay.serve(path, port=0, fps=20.0,
+                                      run_forever=False)
+    import threading, time
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for _ in range(100):
+            if watcher.frame:
+                break
+            time.sleep(0.05)
+        port = httpd.server_address[1]
+        data = urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/frame.jpg', timeout=5).read()
+        assert data[:2] == b'\xff\xd8'  # JPEG SOI marker
+    finally:
+        httpd.shutdown()
+        watcher.stop()
