@@ -50,6 +50,9 @@ def sky_eval(scene, direction, lam):
     if scene.has_envmap:
         from . import envmap as envmap_mod
         return envmap_mod.eval_radiance(scene.envmap, direction, lam)
+    if scene.has_daylight:
+        from . import daylight as daylight_mod
+        return daylight_mod.eval_radiance(scene.daylight, direction, lam)
     base = scene.sky_mul * rgb2spec.eval_coeff(scene.sky_coeff[None, None, :], lam)
     return jnp.where(scene.sky_kind > 0, base, 0.0)
 

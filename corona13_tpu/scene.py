@@ -35,6 +35,7 @@ SKY_BLACK = 0
 SKY_CONST = 1
 SKY_CLOUDY = 2
 SKY_ENVMAP = 3
+SKY_DAYLIGHT = 4
 
 from .models.bsdf import DIFFUSE, DIELECTRIC, METAL, NULL, DIFFDIEL
 
@@ -115,6 +116,8 @@ class Scene:
     sky_coeff: jnp.ndarray     # [3] emission spectrum coeffs (const sky)
     sky_mul: jnp.ndarray
     envmap: 'EnvMap' = None    # lat-long IBL (models/envmap.py)
+    daylight: 'DaylightSky' = None  # Preetham sky (models/daylight.py)
+    has_daylight: bool = struct.field(pytree_node=False, default=False)
     vol: 'VolGrid' = None      # heterogeneous medium grid (medium_hete)
     # texture atlas: spectral coefficient images [n_tex, TH, TW, 3]
     # (uniform padded size) + per-texture true dims
@@ -514,13 +517,21 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
     # --- sky
     sky_kind = {'black': SKY_BLACK, 'sky_const': SKY_CONST,
                 'const': SKY_CONST, 'cloudy': SKY_CLOUDY,
-                'cloudy_sky': SKY_CLOUDY, 'clear_sky': SKY_CLOUDY}.get(
-                    desc.sky.name, SKY_BLACK)
+                'cloudy_sky': SKY_CLOUDY, 'clear_sky': SKY_CLOUDY,
+                'daylight': SKY_DAYLIGHT}.get(desc.sky.name, SKY_BLACK)
     sky_rgb = np.zeros(3, np.float32)
+    daylight_sky = None
     if sky_kind == SKY_CONST and len(desc.sky.args) >= 3:
         sky_rgb = np.array([float(x) for x in desc.sky.args[:3]], np.float32)
     elif sky_kind == SKY_CLOUDY:
         sky_rgb = np.array([0.5, 0.6, 0.8], np.float32)
+    elif sky_kind == SKY_DAYLIGHT:
+        # `daylight <sundir x y z> <turbidity>` (daylight.h:103-111; the
+        # reference's file direction points from the sun into the scene)
+        from .models import daylight as daylight_mod
+        a = [float(x) for x in desc.sky.args[:4]] if len(desc.sky.args) >= 4 \
+            else [-1.0, -1.0, -1.0, 2.0]
+        daylight_sky = daylight_mod.build(-np.asarray(a[:3]), a[3])
     sc, sm = _fit(sky_rgb[None])
 
     # --- heterogeneous medium grid (at most one medium_hete per scene,
@@ -553,6 +564,8 @@ def load_scene(nra2_path: str, cam_path: str | None = None,
                   sky_coeff=jnp.asarray(sc[0]), sky_mul=jnp.asarray(sm[0]),
                   vol=vol_grid, has_hete=has_hete,
                   has_vol_emission=has_vol_emission,
+                  daylight=daylight_sky,
+                  has_daylight=daylight_sky is not None,
                   exterior_med=_exterior_med(desc),
                   tex_atlas=tex_atlas, tex_dims=tex_dims,
                   has_textures=has_textures,
