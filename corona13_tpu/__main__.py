@@ -44,6 +44,9 @@ def main(argv=None):
                    help='progressions per device launch (0 = auto)')
     p.add_argument('--media', action='store_true',
                    help='enable participating media')
+    p.add_argument('--equiangular', action='store_true',
+                   help='equiangular distance sampling for volume NEE '
+                        '(homogeneous media; include/pathspace/equiangular.h)')
     p.add_argument('--pointsampler', default='rand',
                    choices=['rand', 'halton'])
     p.add_argument('--seed', type=int, default=0)
@@ -78,7 +81,8 @@ def main(argv=None):
     cfg = pt_mod.PTConfig(
         width=args.width, height=args.height, max_verts=args.max_verts,
         mf=args.mf, use_nee=(args.sampler != 'pt'),
-        pointsampler=args.pointsampler, seed=args.seed, media=args.media)
+        pointsampler=args.pointsampler, seed=args.seed, media=args.media,
+        equiangular=args.equiangular)
 
     if args.sampler == 'vis':
         from .samplers import vis as vis_mod

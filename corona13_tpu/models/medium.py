@@ -176,3 +176,27 @@ def stack_pop(stack, mat, do):
     first = (jnp.cumsum(hit.astype(jnp.int32), axis=-1) == 1) & hit
     rm = first & do[..., None]
     return jnp.sort(jnp.where(rm, MED_EMPTY, stack), axis=-1)
+
+
+def equiangular_sample(org, w, light_pos, t_max, rnd):
+    """Equiangular distance sampling along [0, t_max] of the ray
+    (org, w) toward a light point (Kulla/Fajardo; reference
+    include/pathspace/equiangular.h): the scatter distance is drawn
+    proportional to 1/d^2 to the light, which cancels the geometric
+    spike of short connections.
+
+    Returns (t [N], pdf [N]) with pdf in distance measure (0 where the
+    sampling degenerates: t_max <= 0)."""
+    to_l = light_pos - org
+    a = dot(to_l, w)                       # closest-approach parameter
+    d2 = jnp.maximum(dot(to_l, to_l) - a * a, 1e-12)
+    dd = jnp.sqrt(d2)
+    th_a = jnp.arctan2(0.0 - a, dd)
+    th_b = jnp.arctan2(t_max - a, dd)
+    span = jnp.maximum(th_b - th_a, 1e-9)
+    th = th_a + rnd * span
+    t = a + dd * jnp.tan(th)
+    t = jnp.clip(t, 0.0, t_max)
+    pdf = dd / (span * (d2 + (t - a) ** 2))
+    ok = t_max > 0.0
+    return jnp.where(ok, t, 0.0), jnp.where(ok, pdf, 0.0)

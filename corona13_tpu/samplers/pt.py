@@ -53,6 +53,11 @@ class PTConfig:
     media: bool = struct.field(pytree_node=False, default=False)
     # enable homogeneous participating media (free-flight sampling + HG
     # phase + interior tracking); static so media-free scenes compile lean
+    equiangular: bool = struct.field(pytree_node=False, default=False)
+    # volume NEE places the scatter connection vertex by equiangular
+    # distance sampling toward the light (1/d^2 importance; reference
+    # include/pathspace/equiangular.h) instead of reusing the free-flight
+    # vertex — homogeneous media only; not available under MLT replay
     compact: tuple = struct.field(pytree_node=False, default=None)
     # optional per-depth wavefront capacity fractions (len = max_verts-1,
     # first entry 1.0).  When set, the bounce loop unrolls with a sorted
@@ -137,6 +142,9 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
     n = pixel_idx.shape[0]
     mf = cfg.mf
     ps = cfg.pointsampler
+    if cfg.equiangular and u is not None:
+        raise ValueError('equiangular volume NEE has no slot in the MLT '
+                         'primary-sample layout (psd_dims)')
 
     if u is None:
         def rnd(dim, salt=0, family='cam'):
@@ -371,6 +379,34 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
                 rnd(rng.Dim.NEE_LIGHT2, salt=10 + depth, family='nee'),
                 rnd(rng.Dim.NEE_X, salt=10 + depth, family='nee'),
                 rnd(rng.Dim.NEE_Y, salt=10 + depth, family='nee'))
+            thr_nee = thr_in
+            if cfg.media and cfg.equiangular:
+                # re-place the volume connection vertex by equiangular
+                # sampling toward the chosen light point: the 1/d^2 pdf
+                # cancels the geometric spike of short connections
+                # (equiangular.h; homogeneous interiors only).  The NEE
+                # weight swaps the free-flight factor for
+                # sigma_s T(t_eq) / pdf_eq; MIS pdfs (light-area vs
+                # phase-extension) are unchanged.
+                eq = scat
+                if scene.has_hete:
+                    eq = eq & (cur_med != scene.vol.mat_id)
+                r_eq = rnd(rng.Dim.FREE_PATH, salt=40 + depth,
+                           family='nee')
+                t_seg = jnp.minimum(t_park, 1e4)
+                t_eq, pdf_eq = medium_mod.equiangular_sample(
+                    org, d, ls['pos'], t_seg, r_eq)
+                t_eq = jax.lax.stop_gradient(t_eq)
+                pdf_eq = jax.lax.stop_gradient(pdf_eq)
+                x_eq = org + t_eq[..., None] * d
+                st_m = medium_mod.sigma_t(scene.materials, cur_med, lam)
+                ss_m = medium_mod.sigma_s(scene.materials, cur_med, lam)
+                w_eq = ss_m * jnp.exp(-st_m * t_eq[..., None]) / \
+                    jnp.maximum(pdf_eq[..., None], 1e-20)
+                w_eq = jnp.where(jnp.isfinite(w_eq), w_eq, 0.0)
+                x_nee = jnp.where(eq[..., None], x_eq, x_nee)
+                thr_nee = jnp.where(eq[..., None], state['thr'] * w_eq,
+                                    thr_in)
             to_l = ls['pos'] - x_nee
             dist = jnp.sqrt(jnp.maximum(dot(to_l, to_l), 1e-20))
             wo = to_l / dist[..., None]
@@ -424,7 +460,7 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             # stay finite on garbage (escaped/masked) lanes
             gfac = (g_nee * edf)[..., None] / pdf_nee_safe
             gfac = jnp.where(jnp.isfinite(gfac), gfac, 0.0)
-            val = thr_in * f * gfac * l_em
+            val = thr_nee * f * gfac * l_em
             if cfg.media:
                 # transmittance of the current interior along the shadow
                 # segment (homogeneous or grid; boundary crossings are

@@ -203,3 +203,48 @@ def test_nested_media_transmittance():
     ratio = fb[4:8, 6:10, 1].mean() / fb0[4:8, 6:10, 1].mean()
     tau = 0.05 * 2.0 + 0.125 * 6.0 + 0.05 * 2.0
     np.testing.assert_allclose(ratio, np.exp(-tau), rtol=0.15)
+
+
+def test_equiangular_pdf_normalized():
+    """equiangular_sample's pdf integrates to 1 over [0, t_max]."""
+    import numpy as np
+    from corona13_tpu.models import medium as medium_mod
+    org = jnp.asarray([[0.0, 0.0, 0.0]])
+    w = jnp.asarray([[1.0, 0.0, 0.0]])
+    light = jnp.asarray([[2.0, 1.5, 0.0]])
+    t_max = jnp.asarray([5.0])
+    # inverse-CDF samples at stratified u must integrate 1/pdf-weighted
+    # density to t_max (change of variables check)
+    us = np.linspace(1e-4, 1 - 1e-4, 4096)
+    ts, pdfs = [], []
+    for u in us:
+        t, p = medium_mod.equiangular_sample(org, w, light, t_max,
+                                             jnp.asarray([u]))
+        ts.append(float(t[0])); pdfs.append(float(p[0]))
+    ts, pdfs = np.array(ts), np.array(pdfs)
+    assert (pdfs > 0).all() and (ts >= 0).all() and (ts <= 5.0).all()
+    # MC estimate of integral of pdf over distance: E[pdf/pdf] = 1, and
+    # int pdf dt via the sorted samples' spacing
+    est = np.trapezoid(pdfs, ts)
+    assert abs(est - 1.0) < 0.05, est
+    # concentration near the closest point to the light (t = 2)
+    assert abs(np.median(ts) - 2.0) < 0.5
+
+
+def test_equiangular_matches_default_nee(cornell_subsurf_scene=None):
+    """Equiangular volume NEE agrees with the free-flight-vertex NEE in
+    expectation (same integral, different distance sampler)."""
+    from corona13_tpu import testing
+    sc = testing.cornell_scene(sphere='subsurf')
+    cfg0 = pt_mod.PTConfig(width=24, height=16, max_verts=8, mf=2,
+                           use_nee=True, media=True)
+    cfg1 = cfg0.replace(equiangular=True)
+    a = b = 0.0
+    for s in range(4):
+        a = a + np.asarray(pt_mod.render_sample(sc, cfg0, jnp.uint32(s),
+                                                batch=2))
+        b = b + np.asarray(pt_mod.render_sample(sc, cfg1, jnp.uint32(s),
+                                                batch=2))
+    ratio = b.mean() / a.mean()
+    assert np.isfinite(b).all()
+    assert abs(ratio - 1.0) < 0.1, ratio
