@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..utils.math import dot, normalize, build_onb, from_frame, to_frame
@@ -41,6 +42,10 @@ NULL = 3         # pass-through volume boundary (medium proxy shapes —
 DIFFDIEL = 4     # diffuse-coated dielectric: fresnel-reflect (GGX/specular)
 #   or cosine-diffuse *transmit* into the interior (skin/subsurface proxy,
 #   reference src/shaders/diffdiel.c)
+HAIR = 5         # fiber BSDF for line primitives: Kajiya-Kay diffuse +
+#   truncated-gaussian longitudinal specular cone around the fiber
+#   tangent (the TPU re-expression of the reference's longitudinal hair
+#   lobes, src/shaders/hair.c — azimuth kept uniform; see hair_* below)
 
 # vertex mode bits (subset of reference pathspace.h:57-72)
 MODE_ABSORB = 0
@@ -70,6 +75,7 @@ class ShadingPoint:
     n: jnp.ndarray          # [N, 3] shading normal
     gn: jnp.ndarray         # [N, 3] geometric normal
     inside: jnp.ndarray     # [N] bool: hit from the inside (flags & s_inside)
+    tangent: jnp.ndarray = None  # [N, 3] fiber direction (line prims/HAIR)
 
 
 def fresnel_dielectric(n1, n2, cos_r, cos_t):
@@ -537,7 +543,106 @@ def metal_eval_pdf(sp: ShadingPoint, wi, wo):
 
 # --- dispatch --------------------------------------------------------------
 
-ALL_KINDS = (DIFFUSE, DIELECTRIC, METAL, DIFFDIEL)
+def _hair_frame(sp, wi):
+    """Fiber frame: tangent T, an ONB (U, V) around it, and the incoming
+    tangential component ci = dot(T, -wi) that the specular cone
+    preserves (reflection off a cylinder flips only the radial part)."""
+    t = sp.tangent if sp.tangent is not None else sp.n
+    t = normalize(t)
+    u, v = build_onb(t)
+    ci = dot(t, -wi)
+    return t, u, v, ci
+
+
+_HAIR_BETA_MIN = 0.02
+
+
+def _hair_lobes(sp):
+    """Per-lane lobe energies (hero lane 0): diffuse rd, specular rg."""
+    e_d = jnp.maximum(sp.rd[..., 0], 0.0)
+    e_s = jnp.maximum(sp.rg[..., 0], 0.0)
+    tot = jnp.maximum(e_d + e_s, 1e-12)
+    return e_d / tot, e_s / tot
+
+
+def _hair_spec_norm(ci, beta):
+    """Truncated-gaussian normalization over co in [-1, 1]."""
+    from jax.scipy.special import erf
+    s = beta * np.sqrt(2.0)
+    return jnp.maximum(0.5 * (erf((1.0 - ci) / s) - erf((-1.0 - ci) / s)),
+                       1e-6)
+
+
+def hair_S(sp, wi, wo):
+    """Fiber scattering distribution S(wo) per solid angle [N, MF]
+    (energy-normalized): Kajiya-Kay diffuse sin(theta)/pi^2 + gaussian
+    longitudinal specular cone / (2 pi norm)."""
+    t, _, _, ci = _hair_frame(sp, wi)
+    co = dot(t, wo)
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - co * co, 1e-12))
+    beta = jnp.maximum(sp.roughness, _HAIR_BETA_MIN)
+    s_d = sp.rd * (sin_o / (np.pi ** 2))[..., None]
+    g = jnp.exp(-0.5 * ((co - ci) / beta) ** 2) / \
+        (beta * np.sqrt(2.0 * np.pi))
+    s_s = sp.rg * (g / (_hair_spec_norm(ci, beta) * 2.0 * np.pi))[..., None]
+    return s_d + s_s
+
+
+def hair_pdf_w(sp, wi, wo):
+    """Solid-angle pdf of hair_sample's lobe mixture."""
+    t, _, _, ci = _hair_frame(sp, wi)
+    co = dot(t, wo)
+    beta = jnp.maximum(sp.roughness, _HAIR_BETA_MIN)
+    p_d, p_s = _hair_lobes(sp)
+    pdf_diff = 1.0 / (4.0 * np.pi)
+    g = jnp.exp(-0.5 * ((co - ci) / beta) ** 2) / \
+        (beta * np.sqrt(2.0 * np.pi))
+    pdf_spec = g / (_hair_spec_norm(ci, beta) * 2.0 * np.pi)
+    return p_d * pdf_diff + p_s * pdf_spec
+
+
+def hair_eval_pdf(sp, wi, wo):
+    """(f, pdf_proj) in the renderer's surface convention: the pipeline
+    multiplies |cos(n, wo)| into NEE/extension, so f = S/|cos| and
+    pdf_proj = pdf_w/|cos| keep the fiber distribution intact."""
+    cos_n = jnp.maximum(jnp.abs(dot(sp.n, wo)), 1e-4)
+    f = hair_S(sp, wi, wo) / cos_n[..., None]
+    pdf_proj = hair_pdf_w(sp, wi, wo) / cos_n
+    return f, jnp.broadcast_to(pdf_proj[..., None], f.shape)
+
+
+def hair_sample(sp, wi, r1, r2, r_mode):
+    """Sample the lobe mixture; returns (wo, pdf_proj[MF], w[MF])
+    with w = S/pdf_w (the f |cos| / pdf convention of the other kinds)."""
+    from jax.scipy.special import erf, erfinv
+    t, u, v, ci = _hair_frame(sp, wi)
+    beta = jnp.maximum(sp.roughness, _HAIR_BETA_MIN)
+    p_d, p_s = _hair_lobes(sp)
+    phi = 2.0 * np.pi * r2
+    # diffuse: uniform sphere
+    co_d = 2.0 * r1 - 1.0
+    # specular: truncated gaussian around ci via inverse CDF
+    s = beta * np.sqrt(2.0)
+    lo = erf((-1.0 - ci) / s)
+    hi = erf((1.0 - ci) / s)
+    co_s = ci + s * erfinv(jnp.clip(lo + r1 * (hi - lo), -1 + 1e-7,
+                                    1 - 1e-7))
+    use_s = r_mode < p_s
+    co = jnp.clip(jnp.where(use_s, co_s, co_d), -1.0 + 1e-6, 1.0 - 1e-6)
+    sin_o = jnp.sqrt(1.0 - co * co)
+    wo = (co[..., None] * t
+          + (sin_o * jnp.cos(phi))[..., None] * u
+          + (sin_o * jnp.sin(phi))[..., None] * v)
+    wo = normalize(wo)
+    pdf_w = hair_pdf_w(sp, wi, wo)
+    s_val = hair_S(sp, wi, wo)
+    w = s_val / jnp.maximum(pdf_w, 1e-12)[..., None]
+    cos_n = jnp.maximum(jnp.abs(dot(sp.n, wo)), 1e-4)
+    pdf_proj = jnp.broadcast_to((pdf_w / cos_n)[..., None], w.shape)
+    return wo, pdf_proj, w
+
+
+ALL_KINDS = (DIFFUSE, DIELECTRIC, METAL, DIFFDIEL, HAIR)
 
 
 def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode, kinds=ALL_KINDS):
@@ -592,6 +697,13 @@ def bsdf_sample(sp: ShadingPoint, wi, r1, r2, r_mode, kinds=ALL_KINDS):
                            jnp.where(trans_s, MODE_DIFFUSE, MODE_GLOSSY)) | \
             jnp.where(trans_s, MODE_TRANSMIT, MODE_REFLECT)
         mode = jnp.where(is_s, s_mode, mode)
+    if HAIR in kinds:
+        wo_f, pdf_f, w_f = hair_sample(sp, wi, r1, r2, r_mode)
+        is_f = sp.kind == HAIR
+        wo = jnp.where(is_f[..., None], wo_f, wo)
+        pdf = jnp.where(is_f[..., None], pdf_f, pdf)
+        w = jnp.where(is_f[..., None], w_f, w)
+        mode = jnp.where(is_f, MODE_GLOSSY | MODE_REFLECT, mode)
     if NULL in kinds:
         is_n = sp.kind == NULL
         wo = jnp.where(is_n[..., None], wi, wo)
@@ -653,4 +765,9 @@ def bsdf_eval_pdf(sp: ShadingPoint, wi, wo, kinds=ALL_KINDS):
         f_s, p_s = diffdiel_eval_pdf(sp, wi, wo)
         f = jnp.where(is_s, f_s, f)
         pdf = jnp.where(is_s, p_s, pdf)
+    if HAIR in kinds:
+        is_f = (sp.kind == HAIR)[..., None]
+        f_f, p_f = hair_eval_pdf(sp, wi, wo)
+        f = jnp.where(is_f, f_f, f)
+        pdf = jnp.where(is_f, p_f, pdf)
     return f, pdf

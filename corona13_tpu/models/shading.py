@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.math import dot, normalize, cross
+from ..utils.math import dot, normalize, cross, build_onb
 from ..spectral import rgb2spec, cie
 from .bsdf import ShadingPoint
 from . import lights as lights_mod
@@ -74,7 +74,7 @@ def _line_geo(geom, local, x, y_frac):
     radial = normalize(radial)
     # tilt to the cone surface (geo/line.h:156-160)
     n = normalize(radial - d * ((r1 - r0) / length)[..., None])
-    return n, n, jnp.stack([y_frac, jnp.zeros_like(y_frac)], axis=-1)
+    return n, n, jnp.stack([y_frac, jnp.zeros_like(y_frac)], axis=-1), d
 
 
 def checker_albedo(spectra, st, lam):
@@ -121,12 +121,14 @@ def prepare(scene, hit, x, wi, lam) -> ShadingPoint:
         st = jnp.where(is_sph[..., None], st_s, st)
         mat = jnp.where(is_sph, geom.sph_shader[
             jnp.where(is_sph, prim - n_t, 0)], mat)
+    tangent = build_onb(n)[0]   # fiber frame fallback for non-line prims
     if geom.n_lines:
-        gn_l, n_l, st_l = _line_geo(geom, jnp.where(is_line, prim - n_t - n_s, 0),
-                                    x, hit.u)
+        gn_l, n_l, st_l, tan_l = _line_geo(
+            geom, jnp.where(is_line, prim - n_t - n_s, 0), x, hit.u)
         gn = jnp.where(is_line[..., None], gn_l, gn)
         n = jnp.where(is_line[..., None], n_l, n)
         st = jnp.where(is_line[..., None], st_l, st)
+        tangent = jnp.where(is_line[..., None], tan_l, tangent)
         mat = jnp.where(is_line, geom.line_shader[
             jnp.where(is_line, prim - n_t - n_s, 0)], mat)
 
@@ -194,7 +196,7 @@ def prepare(scene, hit, x, wi, lam) -> ShadingPoint:
         rd=rd, rg=rg, em=em, roughness=rough,
         eta_ratio=eta_ratio,
         fresnel_eta=f_n, fresnel_k=f_k,
-        n=n, gn=gn, inside=inside)
+        n=n, gn=gn, inside=inside, tangent=tangent)
 
 
 def _eta_from_abbe_batched(n_d, v_d, lam):

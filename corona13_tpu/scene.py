@@ -37,7 +37,7 @@ SKY_CLOUDY = 2
 SKY_ENVMAP = 3
 SKY_DAYLIGHT = 4
 
-from .models.bsdf import DIFFUSE, DIELECTRIC, METAL, NULL, DIFFDIEL
+from .models.bsdf import DIFFUSE, DIELECTRIC, METAL, NULL, DIFFDIEL, HAIR
 
 
 @struct.dataclass
@@ -230,6 +230,22 @@ def _apply_shader(desc, idx, sh, m: _ResolvedMat, is_host: bool):
             m.g_rgb = (1.0, 1.0, 1.0)
         if is_host:
             pass
+    elif name == 'hair':
+        # hair <eumelanin> <pheomelanin> (src/shaders/hair.c:650): melanin
+        # concentrations set the fiber absorption; map them to a fiber
+        # albedo via the standard eumelanin/pheomelanin absorption-at-550nm
+        # ratios (darker with concentration), keep rg as the specular lobe
+        m.kind = HAIR
+        eu = float(a[0]) if len(a) > 0 else 0.1
+        ph = float(a[1]) if len(a) > 1 else 0.5
+        absorb = np.array([0.419, 0.697, 1.37]) * eu + \
+            np.array([0.187, 0.4, 1.05]) * ph
+        alb = np.exp(-absorb).clip(0.0, 1.0)
+        m.d_rgb = tuple(float(x) for x in alb)
+        if m.g_rgb == (0.0, 0.0, 0.0):
+            m.g_rgb = (0.35, 0.35, 0.35)
+        if m.roughness == 1.0:
+            m.roughness = 0.15
     elif name == 'diffdiel':
         # diffdiel <n_d> [abbe]: diffuse-coated dielectric
         # (src/shaders/diffdiel.c init)

@@ -161,3 +161,62 @@ def test_diffdiel_transmits_diffusely():
     assert (cos_out[refl] > 0).all()
     # energy: weight bounded by rg for both branches
     assert np.asarray(w).max() <= 1.0 + 1e-4
+
+
+def test_hair_sample_eval_pdf_consistency():
+    """Fiber BSDF battletest: sampled directions must reproduce their own
+    eval/pdf (the reference's makebattletest (pdf-epdf)^2 gate for
+    src/shaders/hair.c, as a property test)."""
+    rng_ = np.random.default_rng(5)
+    n_rows = 2048
+    sp = bsdf.ShadingPoint(
+        kind=jnp.full((n_rows,), bsdf.HAIR, jnp.int32),
+        rd=jnp.ones((n_rows, MF)) * 0.6, rg=jnp.ones((n_rows, MF)) * 0.35,
+        em=jnp.zeros((n_rows, MF)),
+        roughness=jnp.full((n_rows,), 0.15),
+        eta_ratio=jnp.ones((n_rows, MF)),
+        fresnel_eta=jnp.ones((n_rows, MF)), fresnel_k=jnp.ones((n_rows, MF)),
+        n=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n_rows, 3)),
+        gn=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n_rows, 3)),
+        inside=jnp.zeros((n_rows,), bool),
+        tangent=jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (n_rows, 3)))
+    wi = jnp.broadcast_to(jnp.asarray(
+        np.array([0.5, 0.2, -0.84]) / np.linalg.norm([0.5, 0.2, -0.84]),
+        jnp.float32), (n_rows, 3))
+    r1 = jnp.asarray(rng_.uniform(0, 1, n_rows).astype(np.float32))
+    r2 = jnp.asarray(rng_.uniform(0, 1, n_rows).astype(np.float32))
+    rm = jnp.asarray(rng_.uniform(0, 1, n_rows).astype(np.float32))
+    wo, pdf_s, w = bsdf.hair_sample(sp, wi, r1, r2, rm)
+    f_e, pdf_e = bsdf.hair_eval_pdf(sp, wi, wo)
+    np.testing.assert_allclose(np.asarray(pdf_s), np.asarray(pdf_e),
+                               rtol=2e-3, atol=1e-6)
+    # w must equal f/pdf_proj where defined
+    ratio = np.asarray(f_e / jnp.maximum(pdf_e, 1e-12))
+    np.testing.assert_allclose(np.asarray(w), ratio, rtol=5e-3, atol=1e-5)
+    # energy: E[S/pdf_w] = integral S = rd + rg (both lobes normalized)
+    est = np.asarray(w).mean()
+    assert abs(est - 0.95) < 0.08, est
+
+
+def test_hair_pdf_normalized():
+    """hair_pdf_w integrates to 1 over the sphere (MC with uniform dirs)."""
+    rng_ = np.random.default_rng(7)
+    n_rows = 8192
+    d = rng_.normal(size=(n_rows, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    sp = bsdf.ShadingPoint(
+        kind=jnp.full((n_rows,), bsdf.HAIR, jnp.int32),
+        rd=jnp.ones((n_rows, MF)) * 0.6, rg=jnp.ones((n_rows, MF)) * 0.35,
+        em=jnp.zeros((n_rows, MF)),
+        roughness=jnp.full((n_rows,), 0.2),
+        eta_ratio=jnp.ones((n_rows, MF)),
+        fresnel_eta=jnp.ones((n_rows, MF)), fresnel_k=jnp.ones((n_rows, MF)),
+        n=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n_rows, 3)),
+        gn=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n_rows, 3)),
+        inside=jnp.zeros((n_rows,), bool),
+        tangent=jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (n_rows, 3)))
+    wi = jnp.broadcast_to(jnp.array([0.3, -0.1, -0.95]) /
+                          np.linalg.norm([0.3, -0.1, -0.95]), (n_rows, 3))
+    pdf = np.asarray(bsdf.hair_pdf_w(sp, wi, jnp.asarray(d, jnp.float32)))
+    est = pdf.mean() * 4.0 * np.pi
+    assert abs(est - 1.0) < 0.05, est
