@@ -39,6 +39,11 @@ def splat_pixel_aligned(fb, jx, jy, col, batch: int = 1,
         fu = jnp.maximum(1.0 - jnp.abs(du), 0.0)
         fv = jnp.maximum(1.0 - jnp.abs(dv), 0.0)
         f = fv[:, :, None] * fu[:, None, :]                # [N, 5, 5]
+    elif filter_kind == 'spline':
+        f = cubic_bspline(dv)[:, :, None] * cubic_bspline(du)[:, None, :]
+    elif filter_kind == 'gaussian':
+        r = jnp.sqrt(du[:, None, :] ** 2 + dv[:, :, None] ** 2)
+        f = gaussian_window(r)
     else:
         r = jnp.sqrt(du[:, None, :] ** 2 + dv[:, :, None] ** 2)
         f = bh_window(r + 1.5)
@@ -114,6 +119,21 @@ def dbor_merge(fbs, spp: int, trust: float = 4.0):
     return out
 
 
+def cubic_bspline(x):
+    """Cubic B-spline kernel, support [-2, 2] (reference
+    include/filter/spline.h's separable spline filter)."""
+    a = jnp.abs(x)
+    near = 2.0 / 3.0 - a * a + 0.5 * a * a * a
+    far = ((2.0 - a) ** 3) / 6.0
+    return jnp.where(a < 1.0, near, jnp.where(a < 2.0, far, 0.0))
+
+
+def gaussian_window(r, sigma=0.7):
+    """Truncated gaussian (reference include/filter/gaussian.h; the
+    anisotropic PSF variant reduces to this for isotropic splats)."""
+    return jnp.where(r <= 2.5, jnp.exp(-0.5 * (r / sigma) ** 2), 0.0)
+
+
 def bh_window(n):
     """4-term Blackman-Harris window on [0, 3] (filter_bh_w)."""
     a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168
@@ -157,7 +177,12 @@ def splat(fb, pix_i, pix_j, col, filter_kind: str = 'blackmanharris'):
     uu = (x0[..., None] + du + 0.5) - pix_i[..., None]          # [N, 4]
     vv = (y0[..., None] + dv + 0.5) - pix_j[..., None]          # [N, 4]
     r = jnp.sqrt(uu[..., None, :] ** 2 + vv[..., :, None] ** 2)  # [N, 4v, 4u]
-    f = bh_window(r + 1.5)
+    if filter_kind == 'spline':
+        f = cubic_bspline(vv)[..., :, None] * cubic_bspline(uu)[..., None, :]
+    elif filter_kind == 'gaussian':
+        f = gaussian_window(r)
+    else:
+        f = bh_window(r + 1.5)
     xi = x0[..., None, None] + du[None, None, :]
     yi = y0[..., None, None] + dv[None, :, None]
     inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)

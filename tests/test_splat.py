@@ -43,3 +43,24 @@ def test_edge_splats_keep_energy_in_bounds():
     col = jnp.ones((2, 3))
     fb = splat.splat(jnp.zeros((24, 32, 3)), pi, pj, col)
     np.testing.assert_allclose(float(fb.sum()), 6.0, rtol=1e-5)
+
+
+def test_filter_kinds_conserve_energy():
+    """Every splat filter (box/bilin/spline/gaussian/blackman-harris)
+    normalizes per-splat: one unit sample deposits exactly unit energy."""
+    import numpy as np
+    from corona13_tpu.ops import splat as splat_mod
+    col = jnp.asarray([[1.0, 2.0, 3.0]])
+    for kind in ('bilin', 'spline', 'gaussian', 'blackmanharris'):
+        fb = splat_mod.splat(jnp.zeros((9, 9, 3)), jnp.asarray([4.3]),
+                             jnp.asarray([4.6]), col, filter_kind=kind)
+        np.testing.assert_allclose(np.asarray(fb).sum(axis=(0, 1)),
+                                   [1.0, 2.0, 3.0], rtol=1e-5,
+                                   err_msg=kind)
+        fb2 = splat_mod.splat_pixel_aligned(
+            jnp.zeros((4, 4, 3)), jnp.full((16,), 0.3),
+            jnp.full((16,), 0.7), jnp.tile(col, (16, 1)),
+            filter_kind=kind)
+        np.testing.assert_allclose(np.asarray(fb2).sum(axis=(0, 1)),
+                                   [16.0, 32.0, 48.0], rtol=1e-4,
+                                   err_msg=kind)
