@@ -220,3 +220,38 @@ def test_hair_pdf_normalized():
     pdf = np.asarray(bsdf.hair_pdf_w(sp, wi, jnp.asarray(d, jnp.float32)))
     est = pdf.mean() * 4.0 * np.pi
     assert abs(est - 1.0) < 0.05, est
+
+
+def test_hair_render_smoke():
+    """End-to-end: line prims with the hair material render finite nonzero
+    radiance under a bright sky (regression 0060_hair coverage as a
+    wiring smoke test: tangent threading + dispatch)."""
+    import numpy as np
+    from corona13_tpu import testing, scene as scene_mod
+    from corona13_tpu.io import cam as cam_io
+    from corona13_tpu.samplers import pt as pt_mod
+    M = scene_mod._ResolvedMat
+    mats = [M(kind=bsdf.HAIR, d_rgb=(0.6, 0.4, 0.3),
+              g_rgb=(0.3, 0.3, 0.3), roughness=0.2)]
+    rng_ = np.random.default_rng(3)
+    n_fibers = 64
+    base = rng_.uniform(-2, 2, (n_fibers, 2))
+    v0 = np.stack([base[:, 0], base[:, 1], np.full(n_fibers, 14.0)], -1)
+    v1 = v0 + rng_.normal(0, 0.1, (n_fibers, 3)) + np.array([0, 3.0, 0])
+    line_vtx = np.stack([v0, v1], axis=1).astype(np.float32)
+    line_radii = np.full((n_fibers, 2), 0.06, np.float32)
+    tri_v = np.array([[[1e4, 1e4, 1e4], [1e4 + 1, 1e4, 1e4],
+                       [1e4, 1e4 + 1, 1e4]]], np.float32)
+    cam = cam_io.CameraData(
+        pos=np.zeros(3, np.float32), pos_t1=np.zeros(3, np.float32),
+        orient=np.array([1, 0, 0, 0], np.float32),
+        orient_t1=np.array([1, 0, 0, 0], np.float32), focus=14.0)
+    sc = testing.assemble_scene(tri_v, np.array([0], np.int32), mats, cam,
+                                sky_rgb=(2.0, 2.0, 2.0),
+                                line_vtx=line_vtx, line_radii=line_radii,
+                                line_sh=np.zeros(n_fibers, np.int32))
+    cfg = pt_mod.PTConfig(width=32, height=24, max_verts=4, mf=2,
+                          use_nee=False)
+    img = np.asarray(pt_mod.render_sample(sc, cfg, jnp.uint32(0), batch=2))
+    assert np.isfinite(img).all()
+    assert img.max() > 0
