@@ -67,16 +67,29 @@ def main():
         caps[0] = 1.0
         # coarsen to <= 3 distinct capacities: the compact driver compiles
         # one scan segment per distinct value (compile time through the
-        # remote-compile tunnel scales with segment count)
-        if len(caps) > 3:
-            tail = len(caps) // 2
-            caps[1:tail + 1] = caps[1:tail + 1].max()
-            caps[tail + 1:] = caps[tail + 1:].max()
+        # remote-compile tunnel scales with segment count).  Keep the
+        # leading run of full-width depths, then split the shrinking tail
+        # into two max-pooled groups.
+        lead = 0
+        while lead < len(caps) and caps[lead] >= 0.999:
+            lead += 1
+        tail = caps[lead:]
+        if len(tail) > 2:
+            half = (len(tail) + 1) // 2
+            tail[:half] = tail[:half].max()
+            tail[half:] = tail[half:].max()
+            caps[lead:] = tail
         cfg = cfg.replace(compact=tuple(float(c) for c in caps))
         print(f'[bench] occupancy {np.round(frac, 3).tolist()} -> caps '
               f'{caps.tolist()} ({time.time() - t0:.0f}s)', file=sys.stderr,
               flush=True)
-    step = jax.jit(lambda s: pt_mod.render_sample(sc, cfg, s))
+    if cfg.compact is not None:
+        # multi-launch segments: one jitted program per capacity segment
+        # (the fused compact program wedges the remote compiler)
+        stepper = pt_mod.make_segmented_renderer(sc, cfg)
+        step = lambda s: stepper(int(s))[0]  # noqa: E731
+    else:
+        step = jax.jit(lambda s: pt_mod.render_sample(sc, cfg, s))
     t0 = time.time()
     fb = step(jnp.uint32(0))
     fb.block_until_ready()
@@ -90,7 +103,10 @@ def main():
     fb.block_until_ready()
     dt = (time.time() - t0) / reps
 
-    rays = count_rays(sc, cfg, jnp.uint32(1))
+    if cfg.compact is not None:
+        rays = int(stepper(1)[1])
+    else:
+        rays = count_rays(sc, cfg, jnp.uint32(1))
     mrays = rays / dt / 1e6
     print(json.dumps({
         'metric': 'Mrays/s/chip on 0010_pt',

@@ -135,9 +135,18 @@ def psd_dims(max_verts: int) -> int:
     return N_CAM_DIMS + N_BOUNCE_DIMS * (max_verts - 1)
 
 
-def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
+def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None,
+                       resume_state=None, depth_range=None):
     """u: optional [N, psd_dims] primary-sample array — when given, every
     random decision reads from it instead of the counter RNG (MLT replay).
+
+    resume_state/depth_range: the multi-launch compaction protocol
+    (make_segmented_renderer): each capacity segment runs as its OWN
+    jitted program — the TPU remote compiler handles several small
+    modules in minutes where the fused whole-progression compact program
+    wedges for 40+.  With depth_range=(d0, d1) only those bounce depths
+    execute and the partial banked tails are returned; resume_state
+    carries the wavefront between launches (device-resident pytree).
     """
     n = pixel_idx.shape[0]
     mf = cfg.mf
@@ -232,6 +241,11 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
     # pdf_proj already excludes it — prev_n only feeds G, so store cam n:
     a_, b_, cn_, x_ = camera_mod.cam_frame(scene.camera, time)
     state['prev_n'] = cn_
+    if resume_state is not None:
+        # mid-progression resume: the init above is dead code (XLA DCEs
+        # it); the wavefront comes in as a device pytree
+        state = dict(resume_state)
+        lam = state['lam']
 
     def bounce(state, depth):
         alive = state['alive']
@@ -634,7 +648,8 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
     caps = cfg.compact
     if len(caps) != cfg.max_verts - 1 or abs(caps[0] - 1.0) > 1e-6:
         raise ValueError('cfg.compact needs max_verts-1 entries, first 1.0')
-    state['orig'] = jnp.arange(n, dtype=jnp.int32)
+    if 'orig' not in state:
+        state['orig'] = jnp.arange(n, dtype=jnp.int32)
     banked_orig = []            # dropped-lane segments
     banked_accum = []
     nray_tot = jnp.zeros((), jnp.int32)
@@ -652,6 +667,10 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
             segments[-1][2] = depth + 1
         else:
             segments.append([cap_n, depth, depth + 1])
+
+    if depth_range is not None:
+        segments = [sg for sg in segments
+                    if sg[1] >= depth_range[0] and sg[2] <= depth_range[1]]
 
     # the compaction sort key: dead lanes last; alive lanes in random
     # order so a capacity overflow keeps a uniformly-random subset
@@ -681,6 +700,10 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
         else:
             state, _ = jax.lax.scan(lambda st, dd: bounce(st, dd), state,
                                     jnp.arange(d0, d1))
+    if depth_range is not None:
+        return dict(state=state, banked_orig=tuple(banked_orig),
+                    banked_accum=tuple(banked_accum), nray=nray_tot,
+                    lam=lam, pix_i=pix_i, pix_j=pix_j)
     banked_orig.append(state['orig'])
     banked_accum.append(state['accum'])
     nray_tot = nray_tot + jnp.sum(state['nrays'])
@@ -691,6 +714,84 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None):
     accum_fb = jnp.stack(srt[1:], axis=-1)
     pseudo = {'nrays': nray_tot[None], 'alive': state['alive']}
     return accum_fb, lam, pix_i, pix_j, pseudo
+
+
+def make_segmented_renderer(scene, cfg: PTConfig, batch: int = 1):
+    """Compile the compacting progression as one jitted program PER
+    capacity segment plus a combiner, returning step(sample_idx) ->
+    (fb [H, W, 3], traced_rays).
+
+    Rationale: the whole-progression compact program (several wavefront
+    sizes, each instantiating the Pallas traversal kernels, plus the
+    compaction sorts) wedges the axon remote compiler for 40+ minutes,
+    while the individual segments compile in minutes.  The wavefront
+    pytree stays on device between launches; per-launch dispatch is
+    ~2.4 ms against a ~400 ms segment."""
+    from ..ops import splat as splat_mod
+    if cfg.compact is None:
+        raise ValueError('make_segmented_renderer needs cfg.compact')
+    n_pix = cfg.width * cfg.height
+    n = n_pix * batch
+    caps = cfg.compact
+    cap_ns = [min(n, max(128, -(-int(round(c * n)) // 128) * 128))
+              for c in caps]
+    segments = []
+    for depth, cap_n in enumerate(cap_ns):
+        if segments and segments[-1][0] == cap_n:
+            segments[-1][2] = depth + 1
+        else:
+            segments.append([cap_n, depth, depth + 1])
+    pixel_idx = jnp.tile(jnp.arange(n_pix, dtype=jnp.uint32), batch)
+
+    seg_fns = []
+    for i, (cap_n, d0, d1) in enumerate(segments):
+        if i == 0:
+            def f(s_arr, _d=(d0, d1)):
+                return _sample_paths_full(scene, cfg, s_arr, pixel_idx,
+                                          depth_range=_d)
+        else:
+            def f(st, _d=(d0, d1)):
+                return _sample_paths_full(scene, cfg, jnp.uint32(0),
+                                          pixel_idx, resume_state=st,
+                                          depth_range=_d)
+        seg_fns.append(jax.jit(f))
+
+    @jax.jit
+    def combine(banked_o, banked_a, final_state, nray, lam, jx, jy):
+        all_orig = jnp.concatenate(banked_o + (final_state['orig'],))
+        all_accum = jnp.concatenate(banked_a + (final_state['accum'],))
+        nray = nray + jnp.sum(final_state['nrays'])
+        srt = jax.lax.sort(
+            (all_orig,) + tuple(all_accum[:, i] for i in range(cfg.mf)),
+            num_keys=1)
+        accum_fb = jnp.stack(srt[1:], axis=-1)
+        accum_fb = jnp.where(jnp.isfinite(accum_fb), accum_fb, 0.0)
+        xyz = cie.spectral_to_xyz(lam, accum_fb)
+        fb = jnp.zeros((cfg.height, cfg.width, 3))
+        return splat_mod.splat_pixel_aligned(fb, jx, jy, xyz,
+                                             batch=batch), nray
+
+    def step(sample_idx):
+        sidx = jnp.repeat(jnp.uint32(sample_idx)
+                          + jnp.arange(batch, dtype=jnp.uint32), n_pix)
+        out = seg_fns[0](sidx)
+        banked_o = list(out['banked_orig'])
+        banked_a = list(out['banked_accum'])
+        nray, lam = out['nray'], out['lam']
+        pi, pj = out['pix_i'], out['pix_j']
+        st = out['state']
+        for fn in seg_fns[1:]:
+            out = fn(st)
+            banked_o += list(out['banked_orig'])
+            banked_a += list(out['banked_accum'])
+            nray = nray + out['nray']
+            st = out['state']
+        jx = pi - jnp.floor(pi)
+        jy = pj - jnp.floor(pj)
+        return combine(tuple(banked_o), tuple(banked_a), st, nray, lam,
+                       jx, jy)
+
+    return step
 
 
 def alive_profile(scene, cfg: PTConfig, sample_idx):
