@@ -215,8 +215,14 @@ def _sample_paths_full(scene, cfg: PTConfig, sample_idx, pixel_idx, u=None,
     thr0 = jnp.broadcast_to(cam_thr[..., None], (n, mf))
     sidx_arr = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
                                 pixel_idx.shape)
+    # derive both id columns from pixel AND sample inputs so their
+    # varying manual axes match the body outputs under shard_map
+    # (a px-only-varying carry vs an (sp,px)-varying output is a type
+    # error in lax.scan)
+    pix_col = pixel_idx + (sidx_arr & jnp.uint32(0))
+    sidx_col = sidx_arr + (pixel_idx & jnp.uint32(0))
     state = dict(
-        pix=pixel_idx, sidx=sidx_arr, lam=lam, time=time,
+        pix=pix_col, sidx=sidx_col, lam=lam, time=time,
         org=org, dir=direction,
         thr=thr0,
         pdf_proj=jnp.broadcast_to(cam_pdf_proj[..., None], (n, mf)),
