@@ -749,6 +749,31 @@ def make_segmented_renderer(scene, cfg: PTConfig, batch: int = 1):
             segments.append([cap_n, depth, depth + 1])
     pixel_idx = jnp.tile(jnp.arange(n_pix, dtype=jnp.uint32), batch)
 
+    # the compaction sorts live in their OWN programs: a Pallas traversal
+    # and a wide multi-operand lax.sort in one XLA module wedge the
+    # remote compiler (measured: each alone compiles in < 1 min, combined
+    # it runs > 40 min); a bounce segment whose incoming state is already
+    # at its capacity skips its internal compaction automatically
+    @partial(jax.jit, static_argnums=(1, 2))
+    def compact_fn(st, cap_n, salt_depth):
+        alive = st['alive']
+        k_alive = jnp.sum(alive.astype(jnp.int32))
+        r = rng.sample_dim(cfg.pointsampler, st['pix'], st['sidx'],
+                           9000 + salt_depth, cfg.seed)
+        key = jnp.where(alive, r, 2.0)
+        cols = _state_columns(st)
+        sorted_cols = jax.lax.sort(
+            (key,) + tuple(c for _, c in cols), num_keys=1)[1:]
+        st = _state_from_columns(st, cols, sorted_cols)
+        dropped_o = st['orig'][cap_n:]
+        dropped_a = st['accum'][cap_n:]
+        nray = jnp.sum(st['nrays'][cap_n:])
+        st = {k: v[:cap_n] for k, v in st.items()}
+        scale = jax.lax.stop_gradient(jnp.maximum(
+            1.0, k_alive.astype(jnp.float32) / cap_n))
+        st = dict(st, thr=st['thr'] * scale)
+        return st, dropped_o, dropped_a, nray
+
     seg_fns = []
     for i, (cap_n, d0, d1) in enumerate(segments):
         if i == 0:
@@ -760,7 +785,7 @@ def make_segmented_renderer(scene, cfg: PTConfig, batch: int = 1):
                 return _sample_paths_full(scene, cfg, jnp.uint32(0),
                                           pixel_idx, resume_state=st,
                                           depth_range=_d)
-        seg_fns.append(jax.jit(f))
+        seg_fns.append((jax.jit(f), cap_n, d0))
 
     @jax.jit
     def combine(banked_o, banked_a, final_state, nray, lam, jx, jy):
@@ -780,13 +805,18 @@ def make_segmented_renderer(scene, cfg: PTConfig, batch: int = 1):
     def step(sample_idx):
         sidx = jnp.repeat(jnp.uint32(sample_idx)
                           + jnp.arange(batch, dtype=jnp.uint32), n_pix)
-        out = seg_fns[0](sidx)
+        out = seg_fns[0][0](sidx)
         banked_o = list(out['banked_orig'])
         banked_a = list(out['banked_accum'])
         nray, lam = out['nray'], out['lam']
         pi, pj = out['pix_i'], out['pix_j']
         st = out['state']
-        for fn in seg_fns[1:]:
+        for fn, cap_n, d0 in seg_fns[1:]:
+            if cap_n < st['alive'].shape[0]:
+                st, dr_o, dr_a, dr_n = compact_fn(st, cap_n, d0)
+                banked_o.append(dr_o)
+                banked_a.append(dr_a)
+                nray = nray + dr_n
             out = fn(st)
             banked_o += list(out['banked_orig'])
             banked_a += list(out['banked_accum'])
