@@ -69,16 +69,25 @@ class PTConfig:
 
 def _state_columns(state):
     """Flatten a state dict into [(key, col_index_or_None), column] pairs
-    of rank-1 arrays — the operand list for a multi-operand lax.sort
-    (cheap on TPU, unlike gather/scatter by a permutation)."""
+    of rank-1 *float32* arrays — the operand list for a multi-operand
+    lax.sort (cheap on TPU, unlike gather/scatter by a permutation).
+
+    Non-f32 columns are bitcast to f32: a heterogeneous-dtype variadic
+    sort wedges the TPU remote compiler for tens of minutes, while the
+    same sort over uniform f32 operands compiles in under a minute.  The
+    sort only compares the KEY operand, so payload bit patterns (even
+    NaN-coded ints) are merely permuted."""
     cols = []
     for k in sorted(state):
         v = state[k]
-        if v.ndim == 1:
-            cols.append(((k, None), v))
-        else:
-            for i in range(v.shape[1]):
-                cols.append(((k, i), v[:, i]))
+        arrs = ([(None, v)] if v.ndim == 1
+                else [(i, v[:, i]) for i in range(v.shape[1])])
+        for i, a in arrs:
+            if a.dtype == jnp.bool_:
+                a = a.astype(jnp.float32)
+            elif a.dtype != jnp.float32:
+                a = jax.lax.bitcast_convert_type(a, jnp.float32)
+            cols.append(((k, i), a))
     return cols
 
 
@@ -91,6 +100,11 @@ def _state_from_columns(state, cols, sorted_cols):
     out = {}
     for k, v in state.items():
         parts = by_key[k]
+        if v.dtype == jnp.bool_:
+            parts = [p > 0.5 for p in parts]
+        elif v.dtype != jnp.float32:
+            parts = [jax.lax.bitcast_convert_type(p, v.dtype)
+                     for p in parts]
         out[k] = parts[0] if v.ndim == 1 else jnp.stack(parts, axis=-1)
     return out
 
