@@ -57,7 +57,7 @@ def main():
     # per-depth occupancy (alive_profile): capacity = 1.3x the alive
     # fraction, so stochastic capping almost never triggers, while dead
     # lanes stop paying dense traversal/shading blocks
-    if os.environ.get('BENCH_COMPACT', '1') != '0':
+    if os.environ.get('BENCH_COMPACT', '0') == '1':
         import numpy as np
         t0 = time.time()
         prof = np.asarray(pt_mod.alive_profile(sc, cfg, jnp.uint32(1)),
